@@ -1,0 +1,39 @@
+"""la3dm_tpu — TPU-native Bayesian continuous-occupancy mapping.
+
+A from-scratch JAX/XLA/Pallas re-design of the LA3DM model family
+(reference: RobustFieldAutonomyLab/la3dm, C++/ROS):
+
+* ``BGKOctoMap``    — Bayesian generalized kernel inference, Beta posteriors
+* ``BGKLOctoMap``   — BGK with free-space line-segment training data
+* ``BGKLVOctoMap``  — BGK-L with evidence-mass occupancy + variance-aware
+                      UNCERTAIN state and per-voxel region-of-influence inference
+* ``GPOctoMap``     — per-block Gaussian-process regression (Matérn-3/2,
+                      batched Cholesky) + Bayesian Committee Machine fusion
+
+Instead of a hash map of pointer octrees (reference
+``include/bgkoctomap/bgkoctomap.h:377``), the map is a **dense block pool**:
+preallocated ``[capacity, n³]`` arrays of posterior state sharded over a
+``jax.sharding.Mesh``.  Each scan update is one fused batched kernel
+evaluation over (training-point × test-voxel) tiles on the MXU.
+"""
+
+__version__ = "0.1.0"
+
+from la3dm_tpu.utils.config import MapConfig, DatasetConfig, load_method_config, load_dataset_config
+from la3dm_tpu.models.bgk import BGKOctoMap
+from la3dm_tpu.models.bgkl import BGKLOctoMap
+from la3dm_tpu.models.bgklv import BGKLVOctoMap
+from la3dm_tpu.models.gp import GPOctoMap
+from la3dm_tpu.models.base import State
+
+__all__ = [
+    "BGKOctoMap",
+    "BGKLOctoMap",
+    "BGKLVOctoMap",
+    "GPOctoMap",
+    "State",
+    "MapConfig",
+    "DatasetConfig",
+    "load_method_config",
+    "load_dataset_config",
+]

@@ -1,0 +1,250 @@
+"""Block pool and shared map machinery.
+
+The reference keeps ``std::unordered_map<BlockHashKey, Block*>``
+(``bgkoctomap.h:377``) of per-block pointer octrees.  Here the map is a
+**dense block pool**: preallocated ``[capacity, n³]`` device arrays of
+posterior state plus a host-side key→slot dict.  New blocks are allocated
+host-side between scans; device code only ever sees static shapes.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from la3dm_tpu.geometry import blocks as geo
+from la3dm_tpu.utils.config import MapConfig
+
+
+class State(enum.IntEnum):
+    """Mirrors the reference State enum (+UNCERTAIN from the LV family)."""
+
+    FREE = 0
+    OCCUPIED = 1
+    UNKNOWN = 2
+    UNCERTAIN = 3
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def next_pow2(x: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
+class BlockPool:
+    """Growable pool of per-block dense voxel arrays.
+
+    ``fields`` maps name → fill value; every field is a float32 [cap, V]
+    array except ``touched`` (bool) and ``eff_level`` (int8), which all
+    families share.
+    """
+
+    def __init__(self, voxels_per_block: int, fields: dict[str, float], capacity: int = 256):
+        self.V = voxels_per_block
+        self.capacity = capacity
+        self.n_blocks = 0
+        self._slot_of: dict[int, int] = {}
+        self.coords = np.zeros((capacity, 3), dtype=np.int64)  # host mirror
+        self.fields = {
+            name: jnp.full((capacity, self.V), fill, dtype=jnp.float32)
+            for name, fill in fields.items()
+        }
+        self.touched = jnp.zeros((capacity, self.V), dtype=bool)
+        self.eff_level = jnp.zeros((capacity, self.V), dtype=jnp.int8)
+        self._fills = dict(fields)
+
+    def __len__(self) -> int:
+        return self.n_blocks
+
+    def _grow(self, min_capacity: int) -> None:
+        new_cap = self.capacity
+        while new_cap < min_capacity:
+            new_cap *= 2
+        pad = new_cap - self.capacity
+        self.coords = np.concatenate([self.coords, np.zeros((pad, 3), np.int64)])
+        for name, arr in self.fields.items():
+            filler = jnp.full((pad, self.V), self._fills[name], dtype=arr.dtype)
+            self.fields[name] = jnp.concatenate([arr, filler])
+        self.touched = jnp.concatenate([self.touched, jnp.zeros((pad, self.V), bool)])
+        self.eff_level = jnp.concatenate([self.eff_level, jnp.zeros((pad, self.V), jnp.int8)])
+        self.capacity = new_cap
+
+    def ensure(self, coords: np.ndarray) -> np.ndarray:
+        """Get slots for integer block coords [N,3], allocating new blocks."""
+        keys = geo.pack_key(coords)
+        slots = np.empty(len(keys), dtype=np.int32)
+        missing = []
+        for i, k in enumerate(keys):
+            s = self._slot_of.get(int(k), -1)
+            slots[i] = s
+            if s < 0:
+                missing.append(i)
+        if missing:
+            need = self.n_blocks + len(missing)
+            if need > self.capacity:
+                self._grow(need)
+            for i in missing:
+                s = self.n_blocks
+                self._slot_of[int(keys[i])] = s
+                self.coords[s] = coords[i]
+                slots[i] = s
+                self.n_blocks += 1
+        return slots
+
+    def lookup(self, coords: np.ndarray) -> np.ndarray:
+        """Slots for coords [N,3]; −1 where the block does not exist."""
+        keys = geo.pack_key(coords)
+        return np.array([self._slot_of.get(int(k), -1) for k in keys], dtype=np.int32)
+
+    def active_slots(self) -> np.ndarray:
+        return np.arange(self.n_blocks, dtype=np.int32)
+
+
+class OccupancyMapBase:
+    """Shared behavior of the four map families."""
+
+    #: pool field names, set by subclasses (e.g. ("A", "B"))
+    FIELD_FILLS: dict[str, float] = {}
+
+    def __init__(self, cfg: MapConfig):
+        self.cfg = cfg
+        self.n = cfg.cells_per_edge
+        self.V = cfg.voxels_per_block
+        self.block_size = cfg.block_size
+        self.pool = BlockPool(self.V, self.FIELD_FILLS)
+        # voxel-center offset tables per octree level, [L, V, 3]
+        self._level_offsets = jnp.asarray(
+            np.stack([geo.level_offsets(cfg.resolution, cfg.block_depth, L)
+                      for L in range(cfg.block_depth)]), dtype=jnp.float32)
+        self._neighbor_offsets = (
+            geo.full_neighbor_offsets() if cfg.predict else geo.FACE_NEIGHBOR_OFFSETS
+        )
+        self.num_slots = len(self._neighbor_offsets)
+
+    # -- geometry helpers -------------------------------------------------
+
+    def block_centers(self, coords: np.ndarray) -> np.ndarray:
+        return geo.block_center(coords, self.block_size)
+
+    def eff_voxel_centers(self, slots: jax.Array) -> jax.Array:
+        """Block-local eff-leaf centers [B, V, 3] for the given pool slots."""
+        eff = self.pool.eff_level[slots]  # [B, V]
+        table = self._level_offsets       # [L, V, 3]
+        return jnp.take_along_axis(
+            table[None, :, :, :],
+            eff[:, None, :, None].astype(jnp.int32),
+            axis=1,
+        )[:, 0]
+
+    # -- queries ----------------------------------------------------------
+
+    def search(self, points: np.ndarray) -> dict[str, np.ndarray]:
+        """Vectorized ``search(point3f)`` (bgkoctomap.cpp:563-574).
+
+        Returns per-point posterior fields + ``prob``, ``var``, ``state``;
+        points in non-existent blocks report the default (prior) node.
+        """
+        points = np.atleast_2d(np.asarray(points, dtype=np.float32))
+        coords = geo.point_to_block_coord(points, self.block_size)
+        slots = self.pool.lookup(coords)
+        exists = slots >= 0
+        safe = np.where(exists, slots, 0)
+        centers = self.block_centers(coords)
+        vidx = geo.point_to_voxel_index(points, centers, self.cfg.resolution, self.n)
+        out = {}
+        for name, arr in self.pool.fields.items():
+            vals = np.asarray(arr)[safe, vidx]
+            out[name] = np.where(exists, vals, np.float32(self.FIELD_FILLS[name]))
+        out["touched"] = np.where(exists, np.asarray(self.pool.touched)[safe, vidx], False)
+        return self._posterior(out)
+
+    def _posterior(self, fields: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        raise NotImplementedError
+
+    # -- export (LeafIterator equivalent) ---------------------------------
+
+    def leaves(self, expand_pruned: bool = True) -> dict[str, np.ndarray]:
+        """All map leaves as flat arrays (centers, size, posterior, state).
+
+        ``expand_pruned=True`` mirrors ``get_pruned_locs`` (bgkoctomap.h:269-287):
+        collapsed leaves are reported as their base-resolution voxels (the
+        static nodes do this unless original_size is set).  With False, each
+        collapsed leaf is reported once at its own size.
+        """
+        nb = self.pool.n_blocks
+        if nb == 0:
+            empty = {k: np.zeros((0,)) for k in ("x", "y", "z", "size", "prob", "var")}
+            empty["state"] = np.zeros((0,), np.int8)
+            return empty
+        slots = np.arange(nb)
+        eff = np.asarray(self.pool.eff_level[:nb]).astype(np.int64)  # [B,V]
+        fields = {k: np.asarray(v[:nb]) for k, v in self.pool.fields.items()}
+        fields["touched"] = np.asarray(self.pool.touched[:nb])
+        post = self._posterior(fields)
+
+        centers = self.block_centers(self.pool.coords[:nb])  # [B,3]
+        res = self.cfg.resolution
+        level_tab = np.asarray(self._level_offsets)  # [L,V,3]
+
+        if expand_pruned:
+            offs = level_tab[0][None]  # every base voxel at its own center
+            mask = np.ones_like(eff, dtype=bool)
+            size = np.full(eff.shape, res, dtype=np.float32)
+        else:
+            # one representative voxel per leaf: the minimum-corner base voxel
+            n = self.n
+            ix = np.arange(n)
+            zz, yy, xx = np.meshgrid(ix, ix, ix, indexing="ij")
+            flat = np.stack([xx, yy, zz], -1).reshape(-1, 3)  # raster coords
+            m = 1 << eff  # [B,V]
+            is_corner = ((flat[None, :, 0] % m == 0) & (flat[None, :, 1] % m == 0)
+                         & (flat[None, :, 2] % m == 0))
+            mask = is_corner
+            offs = np.take_along_axis(level_tab[None], eff[:, None, :, None], axis=1)[:, 0]
+            size = (res * m).astype(np.float32)
+
+        pos = centers[:, None, :] + offs  # [B,V,3]
+        flat_mask = mask.reshape(-1)
+        out = {
+            "x": pos[..., 0].reshape(-1)[flat_mask],
+            "y": pos[..., 1].reshape(-1)[flat_mask],
+            "z": pos[..., 2].reshape(-1)[flat_mask],
+            "size": size.reshape(-1)[flat_mask],
+        }
+        for k, v in post.items():
+            out[k] = v.reshape(-1)[flat_mask]
+        return out
+
+    # -- checkpoint/resume ------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Serialize the full map state (the reference's dead ``<<``/``>>``
+        node operators, bgkoctree_node.cpp:46-58, never got a map-level
+        caller; this is the real thing)."""
+        nb = self.pool.n_blocks
+        data = {
+            "coords": self.pool.coords[:nb],
+            "touched": np.asarray(self.pool.touched[:nb]),
+            "eff_level": np.asarray(self.pool.eff_level[:nb]),
+            "config": np.frombuffer(repr(self.cfg).encode(), dtype=np.uint8),
+        }
+        for k, v in self.pool.fields.items():
+            data[f"field_{k}"] = np.asarray(v[:nb])
+        np.savez_compressed(path, **data)
+
+    def load(self, path: str) -> None:
+        data = np.load(path)
+        coords = data["coords"]
+        slots = self.pool.ensure(coords)
+        order = np.argsort(slots)
+        assert np.array_equal(slots[order], np.arange(len(coords))), "load into empty map only"
+        for k in self.pool.fields:
+            self.pool.fields[k] = self.pool.fields[k].at[slots].set(jnp.asarray(data[f"field_{k}"]))
+        self.pool.touched = self.pool.touched.at[slots].set(jnp.asarray(data["touched"]))
+        self.pool.eff_level = self.pool.eff_level.at[slots].set(jnp.asarray(data["eff_level"]))

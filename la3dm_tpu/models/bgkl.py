@@ -1,0 +1,73 @@
+"""BGKLOctoMap — BGK with free-space line-segment training data.
+
+Reference delta from BGK (``src/bgkloctomap/bgkloctomap.cpp``): training data
+is (segment, label); free rays are deduplicated per block — a beam
+contributes one segment to a block's model iff ≥1 of its R-tree proxy
+samples lies in the block (``bgkloctomap.cpp:145-172``); occupied hits are
+degenerate segments (:153-159); the update gate is k̄ > 0.001 (:231).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from la3dm_tpu.geometry import blocks as geo, preprocess
+from la3dm_tpu.models import bucketing
+from la3dm_tpu.models.bgk import BGKOctoMap
+from la3dm_tpu.utils.config import MapConfig
+
+
+def segment_block_entries(td: preprocess.SegmentTrainingData,
+                          block_size: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten per-block training lists: (block coord, segment[6], label).
+
+    Hits become degenerate segments in their own block; each ray is entered
+    once per block containing ≥1 of its samples (per-block dedup).
+    """
+    h_coords = geo.point_to_block_coord(td.hits, block_size)
+    h_entries = np.concatenate([td.hits, td.hits], axis=1).astype(np.float32)
+
+    s_coords = geo.point_to_block_coord(td.samples, block_size)
+    pair = np.stack([geo.pack_key(s_coords), td.sample_ray], axis=1)
+    uniq = np.unique(pair, axis=0)
+    r_coords = geo.unpack_key(uniq[:, 0])
+    r_entries = td.rays[uniq[:, 1]].astype(np.float32)
+
+    coords = np.concatenate([h_coords, r_coords], axis=0)
+    entries = np.concatenate([h_entries, r_entries], axis=0)
+    labels = np.concatenate([
+        np.ones(len(h_coords), np.float32), np.zeros(len(r_coords), np.float32)])
+    return coords, entries, labels
+
+
+class BGKLOctoMap(BGKOctoMap):
+    SEGMENTS = True
+    GATE = 0.001  # bgkloctomap.cpp:231
+
+    def insert_pointcloud(self, cloud: np.ndarray, origin: np.ndarray,
+                          ds_resolution: float | None = None,
+                          free_resolution: float | None = None,
+                          max_range: float | None = None) -> None:
+        cfg = self.cfg
+        td = preprocess.bgkl_training_data(
+            cloud, origin,
+            cfg.ds_resolution if ds_resolution is None else ds_resolution,
+            cfg.free_resolution if free_resolution is None else free_resolution,
+            cfg.max_range if max_range is None else max_range)
+        if len(td.hits) == 0 and len(td.rays) == 0:
+            return
+        coords, entries, labels = segment_block_entries(td, self.block_size)
+        buckets = bucketing.bucket_by_block(
+            coords, entries, labels, self._neighbor_offsets, self.block_size, center_dims=2)
+        self._apply_buckets(buckets)
+
+    # The reference declares insert_training_data for BGKL but never
+    # implemented it (bgkloctomap.h:89); here segment-level insertion works:
+    def insert_training_data(self, segments: np.ndarray, labels: np.ndarray) -> None:
+        """Insert raw (segment, label) rows; each segment is indexed by its
+        start point's block (degenerate handling as in insert_pointcloud)."""
+        coords = geo.point_to_block_coord(segments[:, :3], self.block_size)
+        buckets = bucketing.bucket_by_block(
+            coords, segments.astype(np.float32), labels.astype(np.float32),
+            self._neighbor_offsets, self.block_size, center_dims=2)
+        self._apply_buckets(buckets)

@@ -1,0 +1,103 @@
+"""Host-side bucketing: ragged per-block training sets → padded device tensors.
+
+Replaces the reference's per-scan R-tree (``rtree.Insert``/``Search``,
+``bgkoctomap.cpp:240-243``): the R-tree only ever answers "entries in an
+axis-aligned box" over the current scan, which block bucketing + the
+face-neighbor gather answers exactly (ExtendedBlock semantics,
+``bgkblock.cpp:85-101``).
+
+Output of :func:`bucket_by_block` feeds :mod:`la3dm_tpu.kernels.predict`:
+for every *test block* (any block whose extended neighborhood holds ≥1
+training entry — the reference's test_blocks, ``bgkoctomap.cpp:253-262``),
+a padded row of all entries from its ``G`` neighbor blocks tagged with the
+neighbor-slot id for per-model k̄ gating.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from la3dm_tpu.geometry import blocks as geo
+
+
+@dataclasses.dataclass
+class BlockBuckets:
+    """Padded per-test-block training data (host numpy, ready to ship)."""
+
+    test_coords: np.ndarray   # [B,3] int64 test-block coords
+    entries: np.ndarray       # [B,S,D] f32 block-local training entries
+    labels: np.ndarray        # [B,S] f32
+    slots: np.ndarray         # [B,S] int32 neighbor-slot ids
+    valid: np.ndarray         # [B,S] bool
+
+
+def group_by_block(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sort entries by block key; return (order, unique_keys, starts, counts)."""
+    keys = geo.pack_key(coords)
+    order = np.argsort(keys, kind="stable")
+    ukeys, starts, counts = np.unique(keys[order], return_index=True, return_counts=True)
+    return order, ukeys, starts, counts
+
+
+def test_blocks_for(ukeys: np.ndarray, neighbor_offsets: np.ndarray) -> np.ndarray:
+    """Coords of every block whose G-neighborhood intersects the entry blocks."""
+    ucoords = geo.unpack_key(ukeys)
+    cand = (ucoords[:, None, :] + neighbor_offsets[None, :, :]).reshape(-1, 3)
+    return geo.unpack_key(np.unique(geo.pack_key(cand)))
+
+
+def bucket_by_block(entry_coords: np.ndarray, entries: np.ndarray, labels: np.ndarray,
+                    neighbor_offsets: np.ndarray, block_size: float,
+                    center_dims: int = 1) -> BlockBuckets:
+    """Build padded neighbor-gathered buckets.
+
+    Args:
+      entry_coords: [N,3] owning-block coords of each training entry.
+      entries: [N,D] training payload (points D=3 or segments D=6).
+      labels:  [N].
+      neighbor_offsets: [G,3] neighborhood (self first).
+      block_size: for block-local centering.
+      center_dims: how many xyz triples in the payload to center (1 or 2).
+    """
+    order, ukeys, starts, counts = group_by_block(entry_coords)
+    entries_s = entries[order]
+    labels_s = labels[order]
+
+    test_coords = test_blocks_for(ukeys, neighbor_offsets)
+    B, G = len(test_coords), len(neighbor_offsets)
+
+    # per (test block, slot): segment into the sorted entry array
+    nb_keys = geo.pack_key(test_coords[:, None, :] + neighbor_offsets[None, :, :])  # [B,G]
+    pos = np.searchsorted(ukeys, nb_keys.reshape(-1))
+    pos = np.clip(pos, 0, len(ukeys) - 1)
+    hit = ukeys[pos] == nb_keys.reshape(-1)
+    seg_start = np.where(hit, starts[pos], 0).reshape(B, G)
+    seg_count = np.where(hit, counts[pos], 0).reshape(B, G)
+
+    totals = seg_count.sum(axis=1)
+    S = max(int(totals.max()) if B else 0, 8)
+    D = entries.shape[1]
+
+    out_entries = np.zeros((B, S, D), np.float32)
+    out_labels = np.zeros((B, S), np.float32)
+    out_slots = np.zeros((B, S), np.int32)
+    out_valid = np.zeros((B, S), bool)
+    centers = geo.block_center(test_coords, block_size)
+    for b in range(B):
+        o = 0
+        for g in range(G):
+            c = int(seg_count[b, g])
+            if c == 0:
+                continue
+            s0 = int(seg_start[b, g])
+            out_entries[b, o:o + c] = entries_s[s0:s0 + c]
+            out_labels[b, o:o + c] = labels_s[s0:s0 + c]
+            out_slots[b, o:o + c] = g
+            out_valid[b, o:o + c] = True
+            o += c
+        for d in range(center_dims):
+            out_entries[b, :, 3 * d:3 * d + 3] -= centers[b]
+    return BlockBuckets(test_coords=test_coords, entries=out_entries,
+                        labels=out_labels, slots=out_slots, valid=out_valid)
