@@ -1,0 +1,157 @@
+"""la3dm_tpu command line — the reference's launch-file surface.
+
+    python -m la3dm_tpu.cli static --method bgk --dataset sim_structured \
+        --out /tmp/map
+
+mirrors ``roslaunch la3dm la3dm_static.launch method:=X dataset:=Y``
+(launch/la3dm_static.launch): method YAML + dataset YAML compose into one
+run; the map is exported as PLY (occupied + free), CSV and an NPZ checkpoint
+instead of RViz markers.
+
+    python -m la3dm_tpu.cli server --method bgk --watch DIR
+
+is the online-node equivalent (``la3dm_server.launch``): it watches a
+directory for new ``*.pcd`` scans and integrates them as they appear.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from la3dm_tpu.pipeline import build_map, export_leaves, run_static
+from la3dm_tpu.utils.config import load_dataset_config, load_method_config
+from la3dm_tpu.viz import markers
+
+
+def _add_overrides(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                        help="override any method-config field (repeatable)")
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for kv in pairs:
+        k, _, v = kv.partition("=")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+def cmd_static(args) -> int:
+    cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    ds = load_dataset_config(args.dataset)
+    if args.scan_num:
+        ds = type(ds)(**{**ds.__dict__, "scan_num": args.scan_num})
+
+    def progress(i, dt):
+        print(f"Scan {i} done in {dt:.3f}s", flush=True)
+
+    res = run_static(cfg, ds, progress=progress)
+    print(f"Mapping finished in {res.total_seconds:.3f}s "
+          f"({res.scans_per_second:.2f} scans/s)")
+
+    min_z, max_z = ds.min_z, ds.max_z
+    ex = export_leaves(res.map, original_size=ds.original_size)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        n_occ = markers.export_ply(args.out + "_occupied.ply", ex["occupied"],
+                                   "occupied", cfg.resolution, min_z, max_z)
+        n_free = markers.export_ply(args.out + "_free.ply", ex["free"],
+                                    "free", cfg.resolution, min_z, max_z)
+        markers.export_csv(args.out + "_occupied.csv", ex["occupied"])
+        res.map.save(args.out + "_map.npz")
+        print(f"Exported {n_occ} occupied + {n_free} free voxels to {args.out}_*")
+    else:
+        print(f"{len(ex['occupied']['x'])} occupied, {len(ex['free']['x'])} free voxels")
+    return 0
+
+
+def cmd_server(args) -> int:
+    cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    m = build_map(cfg)
+    seen = set()
+    from la3dm_tpu.io.pcd import load_pcd
+
+    print(f"Watching {args.watch} for scans (Ctrl-C to stop)")
+    try:
+        while True:
+            for path in sorted(glob.glob(os.path.join(args.watch, "*.pcd"))):
+                if path in seen:
+                    continue
+                seen.add(path)
+                cloud, origin = load_pcd(path)
+                t0 = time.perf_counter()
+                m.insert_pointcloud(cloud, origin)
+                print(f"One cloud finished in {time.perf_counter() - t0:.3f}s "
+                      f"({os.path.basename(path)}, {len(cloud)} pts)", flush=True)
+                if args.out:
+                    m.save(args.out + "_map.npz")
+            if args.once:
+                break
+            time.sleep(args.poll)
+    except KeyboardInterrupt:
+        pass
+    if args.out:
+        ex = export_leaves(m, original_size=cfg.original_size)
+        markers.export_ply(args.out + "_occupied.ply", ex["occupied"], "occupied",
+                           cfg.resolution, cfg.min_z, cfg.max_z)
+        m.save(args.out + "_map.npz")
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Load a checkpoint and query points (the search() API as a CLI)."""
+    cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    m = build_map(cfg)
+    m.load(args.checkpoint)
+    pts = np.array([[float(x) for x in p.split(",")] for p in args.points])
+    out = m.search(pts)
+    for i, p in enumerate(pts):
+        print(f"{p}: prob={out['prob'][i]:.4f} var={out['var'][i]:.4f} "
+              f"state={int(out['state'][i])}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="la3dm_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("static", help="offline scan-sequence mapping demo")
+    p.add_argument("--method", default="bgklv", help="bgk|bgkl|bgklv|gp or YAML path")
+    p.add_argument("--dataset", default="sim_structured")
+    p.add_argument("--scan-num", type=int, default=0)
+    p.add_argument("--out", default="")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_static)
+
+    p = sub.add_parser("server", help="online mapping: watch a directory for scans")
+    p.add_argument("--method", default="bgklv")
+    p.add_argument("--watch", required=True)
+    p.add_argument("--out", default="")
+    p.add_argument("--poll", type=float, default=0.5)
+    p.add_argument("--once", action="store_true")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_server)
+
+    p = sub.add_parser("query", help="query a saved map checkpoint")
+    p.add_argument("--method", default="bgklv")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("points", nargs="+", help="x,y,z")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_query)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

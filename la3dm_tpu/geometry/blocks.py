@@ -86,33 +86,94 @@ def unpack_key(keys: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
-def voxel_offsets(resolution: float, block_depth: int) -> np.ndarray:
-    """Leaf-voxel center offsets from block center, [n³,3] float32, raster order.
+def node_offsets_by_depth(resolution: float, block_depth: int) -> list[np.ndarray]:
+    """Node-center offsets per octree depth, BFS child order, float32-exact.
 
-    Reproduces the reference's key_loc_map leaf entries in index_map order
-    (x fastest, z slowest; bgkblock.cpp:7-67): offset = res*(i - n/2 + 0.5).
+    Replicates ``init_key_loc_map`` (bgkblock.cpp:7-32) bit-for-bit: at each
+    depth the half-size is ``(float)(res · 2^(max_depth−depth−1) · 0.5)`` and
+    child centers accumulate ``(float)(parent ± half·0.5)`` (double arithmetic
+    rounded to float per step, child bits i&4→x, i&2→y, i&1→z).  Voxel-center
+    parity matters because the k̄>0 update gate sits on the sparse kernel's
+    clamp boundary.
     """
-    n = 1 << (block_depth - 1)
-    i = np.arange(n, dtype=np.float32)
-    off = (i - n / 2.0 + 0.5) * np.float32(resolution)
-    zz, yy, xx = np.meshgrid(off, off, off, indexing="ij")
-    return np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+    out = [np.zeros((1, 3), np.float32)]
+    for depth in range(block_depth - 1):
+        half = np.float32(resolution * (2.0 ** (block_depth - depth - 1)) * 0.5)
+        prev = out[depth].astype(np.float64)
+        nxt = np.zeros((len(prev) * 8, 3), np.float64)
+        for i in range(8):
+            off = np.array([
+                float(half) * (0.5 if i & 4 else -0.5),
+                float(half) * (0.5 if i & 2 else -0.5),
+                float(half) * (0.5 if i & 1 else -0.5),
+            ])
+            nxt[i::8] = prev + off
+        out.append(nxt.astype(np.float32))
+    return out
+
+
+def _leaf_raster_perm(leaf_centers: np.ndarray) -> np.ndarray:
+    """Raster index → BFS leaf index, via the reference's three stable sorts
+    (x, then y, then z; bgkblock.cpp:44-58)."""
+    perm = np.arange(len(leaf_centers))
+    for axis in (0, 1, 2):
+        perm = perm[np.argsort(leaf_centers[perm, axis], kind="stable")]
+    return perm
+
+
+def voxel_offsets(resolution: float, block_depth: int) -> np.ndarray:
+    """Leaf-voxel center offsets from block center, [n³,3] float32, raster order
+    (x fastest, z slowest — index_map semantics, bgkblock.cpp:34-67)."""
+    levels = node_offsets_by_depth(resolution, block_depth)
+    leaves = levels[block_depth - 1]
+    return leaves[_leaf_raster_perm(leaves)]
 
 
 def level_offsets(resolution: float, block_depth: int, level: int) -> np.ndarray:
-    """Center offsets of depth-(block_depth-1-level) nodes covering each leaf.
+    """Center offsets of each leaf voxel's 2^level-aligned ancestor node.
 
-    ``level=0`` is the leaf itself; ``level=L`` gives, for every leaf voxel in
-    raster order, the center of its 2^L-aligned ancestor node.  Used to
-    evaluate kernels at pruned-leaf centers (see models/pruning.py).
+    ``level=0`` is the leaf itself; used to evaluate kernels at pruned-leaf
+    centers (pruned leaves are later scans' update targets in the reference).
     """
-    n = 1 << (block_depth - 1)
-    m = 1 << level  # cells per edge of the ancestor node
-    i = np.arange(n, dtype=np.int64) // m  # ancestor index per axis
-    off = ((i * m + m / 2.0) - n / 2.0) * np.float32(resolution)
-    off = off.astype(np.float32)
-    zz, yy, xx = np.meshgrid(off, off, off, indexing="ij")
-    return np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+    levels = node_offsets_by_depth(resolution, block_depth)
+    leaves = levels[block_depth - 1]
+    perm = _leaf_raster_perm(leaves)
+    anc = levels[block_depth - 1 - level]
+    return anc[perm >> (3 * level)]
+
+
+def point_block_memberships(points: np.ndarray, block_size: float) -> tuple[np.ndarray, np.ndarray]:
+    """All (block, point) incidences under the reference's closed-box query.
+
+    The per-scan R-tree stores each training point as a degenerate rect and
+    ``get_gp_points_in_bbox`` queries the *closed* block box
+    [center−bs/2, center+bs/2] (rtree.h Overlap + bgkoctomap.cpp:497-524), so
+    a point exactly on a face plane belongs to both adjacent blocks — sensor
+    origins routinely sit on block boundaries.  Bounds are evaluated in
+    float32 exactly as the reference computes them.
+
+    Returns (coords [M,3] int64, point_index [M]) with M ≥ N.
+    """
+    pts = np.asarray(points, dtype=np.float32)
+    bs = np.float32(block_size)
+    half = np.float32(bs / 2.0)
+    base = point_to_block_coord(pts, block_size)  # nearest block per axis
+    # per-axis membership of candidate indices base-1, base, base+1
+    member = np.zeros((len(pts), 3, 3), dtype=bool)  # [N, axis, cand]
+    for c, d in enumerate((-1, 0, 1)):
+        cand = base + d
+        ctr = (cand.astype(np.float64) * bs).astype(np.float32)
+        member[:, :, c] = (ctr - half <= pts) & (pts <= ctr + half)
+    coords_list, idx_list = [], []
+    for cx in range(3):
+        for cy in range(3):
+            for cz in range(3):
+                m = member[:, 0, cx] & member[:, 1, cy] & member[:, 2, cz]
+                if not m.any():
+                    continue
+                coords_list.append(base[m] + np.array([cx - 1, cy - 1, cz - 1]))
+                idx_list.append(np.nonzero(m)[0])
+    return np.concatenate(coords_list), np.concatenate(idx_list)
 
 
 def point_to_voxel_index(points: np.ndarray, centers: np.ndarray, resolution: float, n: int) -> np.ndarray:

@@ -63,15 +63,21 @@ def matern32(d: jax.Array, sf2: float, ell: float) -> jax.Array:
 
 
 def cov_sparse(x: jax.Array, z: jax.Array, sf2: float, ell: float) -> jax.Array:
-    """covSparse (bgkinference.h:113-126): sparse kernel of dist(x/ℓ, z/ℓ)."""
-    inv = jnp.float32(1.0 / ell)
-    return sparse_kernel(pairwise_dist(x * inv, z * inv), sf2)
+    """covSparse (bgkinference.h:113-126): sparse kernel of dist(x/ℓ, z/ℓ).
+
+    Division (not reciprocal multiply) — the k̄>0 update gate is sensitive to
+    the last ulp at the kernel's support boundary.
+    """
+    e = jnp.float32(ell)
+    return sparse_kernel(pairwise_dist(x / e, z / e), sf2)
 
 
 def cov_matern32(x: jax.Array, z: jax.Array, sf2: float, ell: float) -> jax.Array:
-    """covMaterniso3 (gpregressor.h:114-117)."""
-    s = SQRT3 / jnp.float32(ell)
-    return (1.0 + pairwise_dist(x * s, z * s)) * jnp.exp(-pairwise_dist(x * s, z * s)) * jnp.float32(sf2)
+    """covMaterniso3 (gpregressor.h:114-117); scale computed in double as the
+    reference's ``1.73205 / ell`` promotes to double before the f32 matmul."""
+    s = jnp.float32(1.73205 / float(ell))
+    d = pairwise_dist(x * s, z * s)
+    return (1.0 + d) * jnp.exp(-d) * jnp.float32(sf2)
 
 
 def point_to_segment_dist(p: jax.Array, seg: jax.Array) -> jax.Array:
@@ -111,5 +117,5 @@ def cov_sparse_segment(p: jax.Array, seg: jax.Array, sf2: float, ell: float,
     ``lv=False`` → BGKL semantics (clamp negative outputs, bgklinference.h:183-197);
     ``lv=True``  → LV semantics (clamp r ≤ 1 first, bgklvinference.h:143-157).
     """
-    r = point_to_segment_dist(p, seg) * jnp.float32(1.0 / ell)
+    r = point_to_segment_dist(p, seg) / jnp.float32(ell)
     return sparse_kernel_lv(r, sf2) if lv else sparse_kernel(r, sf2)

@@ -132,15 +132,17 @@ class OccupancyMapBase:
     def block_centers(self, coords: np.ndarray) -> np.ndarray:
         return geo.block_center(coords, self.block_size)
 
-    def eff_voxel_centers(self, slots: jax.Array) -> jax.Array:
-        """Block-local eff-leaf centers [B, V, 3] for the given pool slots."""
-        eff = self.pool.eff_level[slots]  # [B, V]
-        table = self._level_offsets       # [L, V, 3]
-        return jnp.take_along_axis(
-            table[None, :, :, :],
-            eff[:, None, :, None].astype(jnp.int32),
-            axis=1,
-        )[:, 0]
+    def eff_voxel_centers(self, slots: np.ndarray) -> np.ndarray:
+        """World-frame eff-leaf centers [B, V, 3] for the given pool slots.
+
+        Matches ``Block::get_point`` = key_loc offset + block center
+        (bgkblock.cpp:137-139), at each voxel's owning-leaf level.
+        """
+        eff = np.asarray(self.pool.eff_level)[slots]  # [B, V]
+        table = np.asarray(self._level_offsets)       # [L, V, 3]
+        off = np.take_along_axis(table[None], eff[:, None, :, None].astype(np.int64), axis=1)[:, 0]
+        centers = self.block_centers(self.pool.coords[slots])
+        return (off + centers[:, None, :]).astype(np.float32)
 
     # -- queries ----------------------------------------------------------
 

@@ -32,7 +32,8 @@ _CHUNK_B = 32  # blocks per lax.map chunk: bounds the [b,V,S] kernel intermediat
                      "var_thresh", "free_thresh", "occupied_thresh", "segments", "update_pruned"),
     donate_argnames=("A", "Bv", "touched", "eff"),
 )
-def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, entries, labels, pslots, pvalid,
+def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers, entries, labels,
+                     pslots, pvalid,
                      num_slots: int, sf2: float, ell: float, gate: float,
                      n: int, max_level: int,
                      var_thresh: float, free_thresh: float, occupied_thresh: float,
@@ -40,11 +41,14 @@ def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, entries, labels, psl
     """One scan's prediction + Beta update + prune, fully on device.
 
     ``slots`` is int32 [B] pool slots (== pool.capacity ⇒ padding row, dropped
-    by the scatter).  ``entries`` [B,S,3|6] are block-local.
+    by the scatter).  ``entries`` [B,S,3|6] and ``centers`` [B,3] are
+    world-frame (kernel parity requires world coordinates; see bucketing).
     """
     eff_b = eff[jnp.minimum(slots, eff.shape[0] - 1)]  # [B,V]
-    vox = jnp.take_along_axis(
+    off = jnp.take_along_axis(
         level_tab[None], eff_b[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]  # [B,V,3]
+    # Block::get_point = key_loc_map offset + block center (bgkblock.cpp:137-139)
+    vox = off + centers[:, None, :]
 
     def chunk_fn(args):
         vx, en, lb, sl, va = args
@@ -56,6 +60,7 @@ def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, entries, labels, psl
 
     B = slots.shape[0]
     nchunk = B // _CHUNK_B
+
     def reshape_c(x):
         return x.reshape(nchunk, _CHUNK_B, *x.shape[1:])
     dA, dB, tch = jax.lax.map(
@@ -139,10 +144,11 @@ class BGKOctoMap(base.OccupancyMapBase):
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
         """Integrate pre-labeled training points (bgkoctomap.cpp:82-212)."""
-        coords = geo.point_to_block_coord(points, self.block_size)
+        points = points.astype(np.float32)
+        coords, idx = geo.point_block_memberships(points, self.block_size)
         buckets = bucketing.bucket_by_block(
-            coords, points.astype(np.float32), labels.astype(np.float32),
-            self._neighbor_offsets, self.block_size, center_dims=1)
+            coords, points[idx], labels.astype(np.float32)[idx],
+            self._neighbor_offsets, self.block_size)
         self._apply_buckets(buckets)
 
     # ------------------------------------------------------------- internals
@@ -166,12 +172,15 @@ class BGKOctoMap(base.OccupancyMapBase):
         valid[:B, :buckets.valid.shape[1]] = buckets.valid
         slots_pad = np.full(B_pad, self.pool.capacity, np.int32)
         slots_pad[:B] = slots
+        centers = np.zeros((B_pad, 3), np.float32)
+        centers[:B] = self.block_centers(buckets.test_coords)
 
         cfg = self.cfg
         self.pool.fields["A"], self.pool.fields["B"], self.pool.touched = _bgk_update_step(
             self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
             self.pool.eff_level, self._level_offsets,
-            jnp.asarray(slots_pad), jnp.asarray(entries), jnp.asarray(labels),
+            jnp.asarray(slots_pad), jnp.asarray(centers),
+            jnp.asarray(entries), jnp.asarray(labels),
             jnp.asarray(pslots), jnp.asarray(valid),
             num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE,
             n=self.n, max_level=cfg.block_depth - 1,

@@ -24,11 +24,11 @@ def segment_block_entries(td: preprocess.SegmentTrainingData,
     Hits become degenerate segments in their own block; each ray is entered
     once per block containing ≥1 of its samples (per-block dedup).
     """
-    h_coords = geo.point_to_block_coord(td.hits, block_size)
-    h_entries = np.concatenate([td.hits, td.hits], axis=1).astype(np.float32)
+    h_coords, h_idx = geo.point_block_memberships(td.hits, block_size)
+    h_entries = np.concatenate([td.hits[h_idx], td.hits[h_idx]], axis=1).astype(np.float32)
 
-    s_coords = geo.point_to_block_coord(td.samples, block_size)
-    pair = np.stack([geo.pack_key(s_coords), td.sample_ray], axis=1)
+    s_coords, s_idx = geo.point_block_memberships(td.samples, block_size)
+    pair = np.stack([geo.pack_key(s_coords), td.sample_ray[s_idx]], axis=1)
     uniq = np.unique(pair, axis=0)
     r_coords = geo.unpack_key(uniq[:, 0])
     r_entries = td.rays[uniq[:, 1]].astype(np.float32)
@@ -58,7 +58,7 @@ class BGKLOctoMap(BGKOctoMap):
             return
         coords, entries, labels = segment_block_entries(td, self.block_size)
         buckets = bucketing.bucket_by_block(
-            coords, entries, labels, self._neighbor_offsets, self.block_size, center_dims=2)
+            coords, entries, labels, self._neighbor_offsets, self.block_size)
         self._apply_buckets(buckets)
 
     # The reference declares insert_training_data for BGKL but never
@@ -69,5 +69,5 @@ class BGKLOctoMap(BGKOctoMap):
         coords = geo.point_to_block_coord(segments[:, :3], self.block_size)
         buckets = bucketing.bucket_by_block(
             coords, segments.astype(np.float32), labels.astype(np.float32),
-            self._neighbor_offsets, self.block_size, center_dims=2)
+            self._neighbor_offsets, self.block_size)
         self._apply_buckets(buckets)

@@ -32,30 +32,39 @@ from la3dm_tpu.utils.config import MapConfig
     static_argnames=("sf2", "ell", "gate"),
     donate_argnames=("A", "Bv", "touched"),
 )
-def _lv_update_step(A, Bv, touched, eff, slots, vox_base,
+def _lv_update_step(A, Bv, touched, eff, slots, vox_base, centers,
                     hits, hits_valid, rays, rays_valid, samples, sample_ray, samples_valid,
                     sf2: float, ell: float, gate: float):
-    """Per-voxel LV inference for a batch of blocks (all coords block-local).
+    """Per-voxel LV inference for a batch of blocks (world coordinates).
 
-    hits [B,H,3]; rays [B,R,6]; samples [B,S,3] with sample_ray [B,S] int32.
+    hits [B,H,3]; rays [B,R,6]; samples [B,S,3] with sample_ray [B,S] int32;
+    centers [B,3] block centers (vox_base holds block-local base offsets).
     """
     ellf = jnp.float32(ell)
 
     def per_block(args):
-        hv, hm, rv, rm, sv, sr, sm = args
+        ctr, hv, hm, rv, rm, sv, sr, sm = args
+        vox = vox_base + ctr[None, :]
+        # ±ℓ cube membership as closed f32 interval tests, matching the
+        # R-tree query bounds lim = p ± ell (bgklvoctomap.cpp:152-171)
+        lo = vox - ellf  # [V,3], f32 exactly as the reference's p − half_size
+        hi = vox + ellf
+
         # -- hits: degenerate segments → plain point distance
-        dh = km.pairwise_dist(vox_base, hv)                       # [V,H]
+        dh = km.pairwise_dist(vox, hv)                            # [V,H]
         member_h = jnp.all(
-            jnp.abs(vox_base[:, None, :] - hv[None, :, :]) <= ellf, axis=-1) & hm[None, :]
+            (hv[None, :, :] >= lo[:, None, :]) & (hv[None, :, :] <= hi[:, None, :]),
+            axis=-1) & hm[None, :]
         Kh = jnp.where(member_h, km.sparse_kernel_lv(dh / ellf, sf2), 0.0)
 
         # -- rays: membership via any proxy sample in the ±ℓ cube (R-tree query)
         member_s = jnp.all(
-            jnp.abs(vox_base[:, None, :] - sv[None, :, :]) <= ellf, axis=-1) & sm[None, :]
+            (sv[None, :, :] >= lo[:, None, :]) & (sv[None, :, :] <= hi[:, None, :]),
+            axis=-1) & sm[None, :]
         onehot = (sr[:, None] == jnp.arange(rv.shape[0])[None, :]) & sm[:, None]
         member_r = jnp.dot(member_s.astype(jnp.float32), onehot.astype(jnp.float32),
                            preferred_element_type=jnp.float32) > 0.0  # [V,R]
-        dr = km.point_to_segment_dist(vox_base, rv)
+        dr = km.point_to_segment_dist(vox, rv)
         Kr = jnp.where(member_r & rm[None, :], km.sparse_kernel_lv(dr / ellf, sf2), 0.0)
 
         ybar = jnp.sum(Kh, axis=1)
@@ -63,7 +72,7 @@ def _lv_update_step(A, Bv, touched, eff, slots, vox_base,
         return ybar, kbar
 
     ybar, kbar = jax.lax.map(
-        per_block, (hits, hits_valid, rays, rays_valid, samples, sample_ray, samples_valid))
+        per_block, (centers, hits, hits_valid, rays, rays_valid, samples, sample_ray, samples_valid))
 
     g = kbar > jnp.float32(gate)
     live = eff[jnp.minimum(slots, eff.shape[0] - 1)] == 0  # base-res leaves only
@@ -175,16 +184,14 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         samples_valid = np.zeros((B, Sm), bool)
         for b in range(B):
             hi = hits_by_b[b]
-            hits[b, :len(hi)] = td.hits[hi] - centers[b]
+            hits[b, :len(hi)] = td.hits[hi]
             hits_valid[b, :len(hi)] = True
             ri = rays_by_b[b]
             local_ray = {int(r): j for j, r in enumerate(ri)}
-            rseg = td.rays[ri]
-            rays[b, :len(ri), :3] = rseg[:, :3] - centers[b]
-            rays[b, :len(ri), 3:] = rseg[:, 3:] - centers[b]
+            rays[b, :len(ri)] = td.rays[ri]
             rays_valid[b, :len(ri)] = True
             si = [i for i in samp_by_b[b] if int(td.sample_ray[i]) in local_ray]
-            samples[b, :len(si)] = td.samples[si] - centers[b]
+            samples[b, :len(si)] = td.samples[si]
             sample_ray[b, :len(si)] = [local_ray[int(td.sample_ray[i])] for i in si]
             samples_valid[b, :len(si)] = True
 
@@ -193,7 +200,7 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         self.pool.fields["A"], self.pool.fields["B"], self.pool.touched = _lv_update_step(
             self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
             self.pool.eff_level, jnp.asarray(slots.astype(np.int32)), self._vox_base,
-            jnp.asarray(hits), jnp.asarray(hits_valid),
+            jnp.asarray(centers), jnp.asarray(hits), jnp.asarray(hits_valid),
             jnp.asarray(rays), jnp.asarray(rays_valid),
             jnp.asarray(samples), jnp.asarray(sample_ray), jnp.asarray(samples_valid),
             sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE)

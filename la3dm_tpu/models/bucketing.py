@@ -49,17 +49,20 @@ def test_blocks_for(ukeys: np.ndarray, neighbor_offsets: np.ndarray) -> np.ndarr
 
 
 def bucket_by_block(entry_coords: np.ndarray, entries: np.ndarray, labels: np.ndarray,
-                    neighbor_offsets: np.ndarray, block_size: float,
-                    center_dims: int = 1) -> BlockBuckets:
+                    neighbor_offsets: np.ndarray, block_size: float) -> BlockBuckets:
     """Build padded neighbor-gathered buckets.
+
+    Entries stay in world coordinates: the reference evaluates kernels on
+    world-frame float32 positions, and the k̄ update gate is ulp-sensitive at
+    the sparse kernel's support boundary, so block-local re-centering would
+    flip gate decisions.
 
     Args:
       entry_coords: [N,3] owning-block coords of each training entry.
       entries: [N,D] training payload (points D=3 or segments D=6).
       labels:  [N].
       neighbor_offsets: [G,3] neighborhood (self first).
-      block_size: for block-local centering.
-      center_dims: how many xyz triples in the payload to center (1 or 2).
+      block_size: world size of a block.
     """
     order, ukeys, starts, counts = group_by_block(entry_coords)
     entries_s = entries[order]
@@ -84,7 +87,6 @@ def bucket_by_block(entry_coords: np.ndarray, entries: np.ndarray, labels: np.nd
     out_labels = np.zeros((B, S), np.float32)
     out_slots = np.zeros((B, S), np.int32)
     out_valid = np.zeros((B, S), bool)
-    centers = geo.block_center(test_coords, block_size)
     for b in range(B):
         o = 0
         for g in range(G):
@@ -97,7 +99,5 @@ def bucket_by_block(entry_coords: np.ndarray, entries: np.ndarray, labels: np.nd
             out_slots[b, o:o + c] = g
             out_valid[b, o:o + c] = True
             o += c
-        for d in range(center_dims):
-            out_entries[b, :, 3 * d:3 * d + 3] -= centers[b]
     return BlockBuckets(test_coords=test_coords, entries=out_entries,
                         labels=out_labels, slots=out_slots, valid=out_valid)

@@ -87,9 +87,10 @@ class GPOctoMap(base.OccupancyMapBase):
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
         cfg = self.cfg
-        coords = geo.point_to_block_coord(points, self.block_size)
+        points = points.astype(np.float32)
+        coords, pidx = geo.point_block_memberships(points, self.block_size)
         order, ukeys, starts, counts = bucketing.group_by_block(coords)
-        pts_s, lab_s = points[order].astype(np.float32), labels[order].astype(np.float32)
+        pts_s, lab_s = points[pidx][order], labels.astype(np.float32)[pidx][order]
         model_coords = geo.unpack_key(ukeys)
         M = len(model_coords)
 
@@ -98,8 +99,8 @@ class GPOctoMap(base.OccupancyMapBase):
         B = len(test_coords)
         t_index = {int(k): i for i, k in enumerate(geo.pack_key(test_coords))}
 
-        # eff voxel centers (block-local) of every test block
-        vox = np.asarray(self.eff_voxel_centers(jnp.asarray(slots)))  # [B,V,3]
+        # world-frame eff voxel centers of every test block
+        vox = self.eff_voxel_centers(slots)  # [B,V,3]
         G, V = self.num_slots, self.V
 
         # model m at coord c serves test block c − off[s] at slot s
@@ -112,7 +113,6 @@ class GPOctoMap(base.OccupancyMapBase):
         variances = np.ones((B, V, G), np.float32)
         present = np.zeros((B, G), bool)
 
-        centers = geo.block_center(model_coords, self.block_size)
         tier_of = np.power(2, np.ceil(np.log2(np.maximum(counts, 8)))).astype(np.int64)
         for tier in sorted(set(tier_of.tolist())):
             sel = np.where(tier_of == tier)[0]
@@ -125,12 +125,12 @@ class GPOctoMap(base.OccupancyMapBase):
             xs = np.zeros((Bc, G * V, 3), np.float32)
             for i, m in enumerate(sel):
                 c = int(counts[m])
-                P[i, :c] = pts_s[starts[m]:starts[m] + c] - centers[m]
+                P[i, :c] = pts_s[starts[m]:starts[m] + c]
                 Y[i, :c] = lab_s[starts[m]:starts[m] + c]
                 Vd[i, :c] = True
-                for s, off in enumerate(self._neighbor_offsets):
-                    # query block t = c−off[s]; model-local coords shift by −off·bs
-                    xs[i, s * V:(s + 1) * V] = vox[nb_t[m, s]] - off * self.block_size
+                for s in range(G):
+                    # model at block c serves test block t = c − off[s] at slot s
+                    xs[i, s * V:(s + 1) * V] = vox[nb_t[m, s]]
             mean, var = _train_predict_tier(
                 jnp.asarray(P), jnp.asarray(Y), jnp.asarray(Vd), jnp.asarray(xs),
                 cfg.sf2, cfg.ell, cfg.noise)

@@ -31,19 +31,29 @@ from la3dm_tpu.models import posterior
 
 
 def _group_view(x: jax.Array, n: int, m: int) -> jax.Array:
-    """[..., n³] (raster x-fastest) → [..., G³, m³] group-major view."""
+    """[..., n³] (raster x-fastest) → [..., G³, m³] group-major view.
+
+    Flat raster index = x + y·n + z·n² splits as (zg zm yg ym xg xm) with zg
+    slowest; groups are the 2^L-aligned cubes, their inner index ordered
+    (zm, ym, xm) so element 0 is the minimum corner (= the reference's child-0
+    chain, bgkblock.cpp:23-27).
+    """
     lead = x.shape[:-1]
+    nl = len(lead)
     g = n // m
-    x = x.reshape(*lead, g, m, g, m, g, m)  # z,y,x split (z slowest)
-    x = jnp.moveaxis(x, (-5, -3), (-4, -2))  # → z g, y g, x g, zm, ym, xm
+    x = x.reshape(*lead, g, m, g, m, g, m)  # zg zm yg ym xg xm
+    perm = tuple(range(nl)) + tuple(nl + a for a in (0, 2, 4, 1, 3, 5))
+    x = x.transpose(perm)                    # zg yg xg zm ym xm
     return x.reshape(*lead, g * g * g, m * m * m)
 
 
 def _ungroup(x: jax.Array, n: int, m: int) -> jax.Array:
     lead = x.shape[:-2]
+    nl = len(lead)
     g = n // m
-    x = x.reshape(*lead, g, g, g, m, m, m)
-    x = jnp.moveaxis(x, (-3, -2), (-5, -3))
+    x = x.reshape(*lead, g, g, g, m, m, m)  # zg yg xg zm ym xm
+    perm = tuple(range(nl)) + tuple(nl + a for a in (0, 3, 1, 4, 2, 5))
+    x = x.transpose(perm)                    # zg zm yg ym xg xm
     return x.reshape(*lead, n * n * n)
 
 

@@ -1,0 +1,86 @@
+"""Offline mapping pipelines — the reference's static/server executables.
+
+``run_static`` mirrors ``{method}_static_node`` (e.g.
+``src/bgkoctomap/bgkoctomap_static_node.cpp:86-140``): read
+``dir/prefix_i.pcd`` for i=1..scan_num with the origin from the PCD
+VIEWPOINT, integrate each scan, log wall-clock, then export occupied/free
+leaves with the reference's display conventions.
+
+Note the reference static nodes pass ``resolution`` — not the config's
+ds_resolution — as the downsampling leaf (bgkoctomap_static_node.cpp:95);
+``run_static`` reproduces that.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from la3dm_tpu.io.pcd import load_pcd
+from la3dm_tpu.models.base import OccupancyMapBase, State
+from la3dm_tpu.models.bgk import BGKOctoMap
+from la3dm_tpu.models.bgkl import BGKLOctoMap
+from la3dm_tpu.models.bgklv import BGKLVOctoMap
+from la3dm_tpu.models.gp import GPOctoMap
+from la3dm_tpu.utils.config import DatasetConfig, MapConfig
+
+MAP_CLASSES = {
+    "bgk": BGKOctoMap,
+    "bgkl": BGKLOctoMap,
+    "bgklv": BGKLVOctoMap,
+    "gp": GPOctoMap,
+}
+
+
+def build_map(cfg: MapConfig) -> OccupancyMapBase:
+    return MAP_CLASSES[cfg.method](cfg)
+
+
+@dataclasses.dataclass
+class StaticRunResult:
+    map: OccupancyMapBase
+    per_scan_seconds: list
+    total_seconds: float
+
+    @property
+    def scans_per_second(self) -> float:
+        return len(self.per_scan_seconds) / max(self.total_seconds, 1e-12)
+
+
+def run_static(cfg: MapConfig, ds: DatasetConfig,
+               progress: Optional[Callable[[int, float], None]] = None,
+               block_until_ready: bool = True) -> StaticRunResult:
+    """Run the offline scan-sequence demo; returns the map + timings."""
+    m = build_map(cfg)
+    per_scan = []
+    t0 = time.perf_counter()
+    for i in range(1, ds.scan_num + 1):
+        cloud, origin = load_pcd(os.path.join(ds.dir, f"{ds.prefix}_{i}.pcd"))
+        t1 = time.perf_counter()
+        # static nodes pass `resolution` as ds_resolution (static_node.cpp:95)
+        m.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
+                            free_resolution=cfg.free_resolution, max_range=ds.max_range)
+        if block_until_ready:
+            for arr in m.pool.fields.values():
+                arr.block_until_ready()
+        dt = time.perf_counter() - t1
+        per_scan.append(dt)
+        if progress:
+            progress(i, dt)
+    total = time.perf_counter() - t0
+    return StaticRunResult(map=m, per_scan_seconds=per_scan, total_seconds=total)
+
+
+def export_leaves(m: OccupancyMapBase, original_size: bool = False) -> dict:
+    """Occupied + free leaf sets with the static nodes' display semantics:
+    OCCUPIED leaves (height coloring domain) and FREE leaves (probability
+    coloring), expanding pruned leaves to base resolution unless
+    original_size (static_node.cpp:111-136)."""
+    leaves = m.leaves(expand_pruned=not original_size)
+    occ = {k: v[leaves["state"] == int(State.OCCUPIED)] for k, v in leaves.items()}
+    free = {k: v[leaves["state"] == int(State.FREE)] for k, v in leaves.items()}
+    return {"occupied": occ, "free": free, "all": leaves}
