@@ -55,37 +55,35 @@ def beam_free_points(hits: np.ndarray, origin: np.ndarray, free_resolution: floa
     """
     hits = np.asarray(hits, dtype=np.float32).reshape(-1, 3)
     origin = np.asarray(origin, dtype=np.float32).reshape(3)
-    if len(hits) == 0:
+    H = len(hits)
+    if H == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0,), np.int64)
     diff = hits - origin
     l = np.sqrt((diff.astype(np.float32) ** 2).sum(-1)).astype(np.float32)
     n = diff / l[:, None]
     fr = np.float32(free_resolution)
 
-    pts, idx = [], []
+    Kmax = max(int(np.floor(float(l.max()) / float(fr))) + 1, 1)
+    k = np.arange(1, Kmax + 1, dtype=np.float32)[None, :]          # [1,K]
     if backward:
-        counts = np.maximum(np.ceil(l / fr - 1.0), 0).astype(np.int64)
-        # d_k = l - (k+1)*fr for k < count  (strictly > 0)
-        for i in range(len(hits)):
-            k = np.arange(counts[i], dtype=np.float32)
-            d = l[i] - (k + 1.0) * fr
-            d = d[d > 0.0]
-            pts.append(origin + n[i] * d[:, None])
-            idx.append(np.full(len(d), i, dtype=np.int64))
+        d = l[:, None] - k * fr                                    # l−fr, l−2fr, …
+        mask = d > 0.0
     else:
-        for i in range(len(hits)):
-            k = np.arange(1, max(int(np.floor(l[i] / fr)) + 2, 1), dtype=np.float32)
-            d = (k * fr)[k * fr < l[i]]
-            if l[i] > fr:
-                d = np.concatenate([d, [l[i] - fr]])
-            pts.append(origin + n[i] * d[:, None].astype(np.float32))
-            idx.append(np.full(len(d), i, dtype=np.int64))
-    if not pts:
-        return np.zeros((0, 3), np.float32), np.zeros((0,), np.int64)
-    return (
-        np.concatenate(pts, axis=0).astype(np.float32) if pts else np.zeros((0, 3), np.float32),
-        np.concatenate(idx, axis=0) if idx else np.zeros((0,), np.int64),
-    )
+        d = (k * fr).astype(np.float32) * np.ones((H, 1), np.float32)
+        mask = d < l[:, None]
+    rows, cols = np.nonzero(mask)
+    pts = origin + n[rows] * d[rows, cols][:, None]
+    idx = rows.astype(np.int64)
+    if not backward:
+        # the extra point at l − fr for beams longer than fr (bgkoctomap.cpp:456-457)
+        extra = l > fr
+        epts = origin + n[extra] * (l[extra] - fr)[:, None]
+        # interleave per beam: order within a beam doesn't matter downstream
+        pts = np.concatenate([pts, epts.astype(np.float32)])
+        idx = np.concatenate([idx, np.nonzero(extra)[0].astype(np.int64)])
+        order = np.argsort(idx, kind="stable")
+        pts, idx = pts[order], idx[order]
+    return pts.astype(np.float32), idx
 
 
 @dataclasses.dataclass

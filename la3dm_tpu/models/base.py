@@ -10,6 +10,7 @@ host-side between scans; device code only ever sees static shapes.
 from __future__ import annotations
 
 import enum
+import functools
 from typing import Iterable
 
 import numpy as np
@@ -17,7 +18,30 @@ import jax
 import jax.numpy as jnp
 
 from la3dm_tpu.geometry import blocks as geo
+from la3dm_tpu.models import pruning
 from la3dm_tpu.utils.config import MapConfig
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("state_fn", "n", "max_level"),
+    donate_argnames=("fields", "touched", "eff"),
+)
+def _prune_step(fields, touched, eff, slots, state_fn, n, max_level):
+    """Gather the batch, collapse homogeneous sibling groups, scatter back.
+
+    ``slots`` padded with pool.capacity (clamped gather, dropped scatter).
+    """
+    safe = jnp.minimum(slots, eff.shape[0] - 1)
+    vals = {k: v[safe] for k, v in fields.items()}
+    vals["touched"] = touched[safe].astype(jnp.float32)
+    new_vals, new_eff = pruning.prune_blocks(vals, eff[safe], n=n,
+                                             max_level=max_level, state_fn=state_fn)
+    for k in fields:
+        fields[k] = fields[k].at[slots].set(new_vals[k], mode="drop")
+    touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
+    eff = eff.at[slots].set(new_eff, mode="drop")
+    return fields, touched, eff
 
 
 class State(enum.IntEnum):
@@ -45,7 +69,7 @@ class BlockPool:
     families share.
     """
 
-    def __init__(self, voxels_per_block: int, fields: dict[str, float], capacity: int = 256):
+    def __init__(self, voxels_per_block: int, fields: dict[str, float], capacity: int = 8192):
         self.V = voxels_per_block
         self.capacity = capacity
         self.n_blocks = 0
@@ -117,7 +141,8 @@ class OccupancyMapBase:
         self.n = cfg.cells_per_edge
         self.V = cfg.voxels_per_block
         self.block_size = cfg.block_size
-        self.pool = BlockPool(self.V, self.FIELD_FILLS)
+        self.FIELD_FILLS = self._field_fills()
+        self.pool = self._make_pool()
         # voxel-center offset tables per octree level, [L, V, 3]
         self._level_offsets = jnp.asarray(
             np.stack([geo.level_offsets(cfg.resolution, cfg.block_depth, L)
@@ -126,6 +151,34 @@ class OccupancyMapBase:
             geo.full_neighbor_offsets() if cfg.predict else geo.FACE_NEIGHBOR_OFFSETS
         )
         self.num_slots = len(self._neighbor_offsets)
+        # stable jit keys: state_fn closures are created ONCE (a fresh closure
+        # per call would miss the static-argnames cache and recompile per scan)
+        self._state_fn = self._make_state_fn()
+        #: perf counters (kernel_evals = training-entry × voxel pairs evaluated)
+        self.stats = {"kernel_evals": 0, "scans": 0}
+
+    def _make_state_fn(self):
+        raise NotImplementedError
+
+    def _field_fills(self) -> dict[str, float]:
+        raise NotImplementedError
+
+    def _make_pool(self) -> BlockPool:
+        return BlockPool(self.V, self.FIELD_FILLS)
+
+    def _prune(self, slots: np.ndarray) -> None:
+        """Prune the updated blocks (reference prunes test blocks per scan)."""
+        if self.cfg.block_depth <= 1 or len(slots) == 0:
+            return
+        B = len(slots)
+        B_pad = next_pow2(max(B, 32))
+        sl = np.full(B_pad, self.pool.capacity, np.int32)
+        sl[:B] = slots
+        new_fields, self.pool.touched, self.pool.eff_level = _prune_step(
+            self.pool.fields, self.pool.touched, self.pool.eff_level,
+            jnp.asarray(sl), self._state_fn, self.n, self.cfg.block_depth - 1)
+        # jit flattens dicts key-sorted; restore the canonical field order
+        self.pool.fields = {k: new_fields[k] for k in self.FIELD_FILLS}
 
     # -- geometry helpers -------------------------------------------------
 
@@ -184,13 +237,13 @@ class OccupancyMapBase:
             empty = {k: np.zeros((0,)) for k in ("x", "y", "z", "size", "prob", "var")}
             empty["state"] = np.zeros((0,), np.int8)
             return empty
-        slots = np.arange(nb)
-        eff = np.asarray(self.pool.eff_level[:nb]).astype(np.int64)  # [B,V]
-        fields = {k: np.asarray(v[:nb]) for k, v in self.pool.fields.items()}
-        fields["touched"] = np.asarray(self.pool.touched[:nb])
+        slots = self.pool.active_slots()
+        eff = np.asarray(self.pool.eff_level)[slots].astype(np.int64)  # [B,V]
+        fields = {k: np.asarray(v)[slots] for k, v in self.pool.fields.items()}
+        fields["touched"] = np.asarray(self.pool.touched)[slots]
         post = self._posterior(fields)
 
-        centers = self.block_centers(self.pool.coords[:nb])  # [B,3]
+        centers = self.block_centers(self.pool.coords[slots])  # [B,3]
         res = self.cfg.resolution
         level_tab = np.asarray(self._level_offsets)  # [L,V,3]
 
@@ -229,23 +282,22 @@ class OccupancyMapBase:
         """Serialize the full map state (the reference's dead ``<<``/``>>``
         node operators, bgkoctree_node.cpp:46-58, never got a map-level
         caller; this is the real thing)."""
-        nb = self.pool.n_blocks
+        slots = self.pool.active_slots()
         data = {
-            "coords": self.pool.coords[:nb],
-            "touched": np.asarray(self.pool.touched[:nb]),
-            "eff_level": np.asarray(self.pool.eff_level[:nb]),
+            "coords": self.pool.coords[slots],
+            "touched": np.asarray(self.pool.touched)[slots],
+            "eff_level": np.asarray(self.pool.eff_level)[slots],
             "config": np.frombuffer(repr(self.cfg).encode(), dtype=np.uint8),
         }
         for k, v in self.pool.fields.items():
-            data[f"field_{k}"] = np.asarray(v[:nb])
+            data[f"field_{k}"] = np.asarray(v)[slots]
         np.savez_compressed(path, **data)
 
     def load(self, path: str) -> None:
+        assert self.pool.n_blocks == 0, "load into an empty map"
         data = np.load(path)
         coords = data["coords"]
         slots = self.pool.ensure(coords)
-        order = np.argsort(slots)
-        assert np.array_equal(slots[order], np.arange(len(coords))), "load into empty map only"
         for k in self.pool.fields:
             self.pool.fields[k] = self.pool.fields[k].at[slots].set(jnp.asarray(data[f"field_{k}"]))
         self.pool.touched = self.pool.touched.at[slots].set(jnp.asarray(data["touched"]))

@@ -113,16 +113,12 @@ def _one_block_segments(vox, seg, lab, slot, val, num_slots, sf2, ell):
 class BGKOctoMap(base.OccupancyMapBase):
     """BGK occupancy map (ctor params: bgkoctomap.cpp:31-56)."""
 
-    FIELD_FILLS = {"A": 1.0, "B": 1.0}
     SEGMENTS = False
     GATE = 0.0  # update gate: k̄ > 0 (bgkoctomap.cpp:332)
 
-    def __init__(self, cfg: MapConfig):
-        cfg = cfg if cfg.method else cfg
-        super().__init__(cfg)
+    def _field_fills(self):
         # prior pseudo-counts are the pool fill values (bgkoctree_node.h:33)
-        self.FIELD_FILLS = {"A": cfg.prior_A, "B": cfg.prior_B}
-        self.pool = base.BlockPool(self.V, self.FIELD_FILLS)
+        return {"A": self.cfg.prior_A, "B": self.cfg.prior_B}
 
     # ------------------------------------------------------------------ API
 
@@ -157,6 +153,8 @@ class BGKOctoMap(base.OccupancyMapBase):
         B = len(buckets.test_coords)
         if B == 0:
             return
+        self.stats["kernel_evals"] += int(buckets.valid.sum()) * self.V
+        self.stats["scans"] += 1
         slots = self.pool.ensure(buckets.test_coords)
         B_pad = base.round_up(max(B, _CHUNK_B), _CHUNK_B)
         S_pad = base.next_pow2(max(buckets.entries.shape[1], 128))
@@ -189,25 +187,14 @@ class BGKOctoMap(base.OccupancyMapBase):
             segments=self.SEGMENTS, update_pruned=True)
         self._prune(slots)
 
-    def _prune(self, slots: np.ndarray) -> None:
-        if self.cfg.block_depth <= 1:
-            return
+    def _make_state_fn(self):
         cfg = self.cfg
-        sl = jnp.asarray(slots)
-        vals = {k: v[sl] for k, v in self.pool.fields.items()}
-        vals["touched"] = self.pool.touched[sl].astype(jnp.float32)
 
         def state_fn(v):
             return posterior.beta_state(v["A"], v["B"], v["touched"] > 0,
                                         cfg.var_thresh, cfg.free_thresh, cfg.occupied_thresh)
 
-        new_vals, new_eff = pruning.prune_blocks(
-            vals, self.pool.eff_level[sl], n=self.n,
-            max_level=cfg.block_depth - 1, state_fn=state_fn)
-        for k in self.pool.fields:
-            self.pool.fields[k] = self.pool.fields[k].at[sl].set(new_vals[k])
-        self.pool.touched = self.pool.touched.at[sl].set(new_vals["touched"] > 0)
-        self.pool.eff_level = self.pool.eff_level.at[sl].set(new_eff)
+        return state_fn
 
     def _posterior(self, fields: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         cfg = self.cfg

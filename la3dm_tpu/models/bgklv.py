@@ -104,14 +104,14 @@ def _halo_blocks(points: np.ndarray, block_size: float, halo: float) -> tuple[np
 
 
 class BGKLVOctoMap(base.OccupancyMapBase):
-    FIELD_FILLS = {"A": 1.0, "B": 1.0}
     GATE = 0.001
 
     def __init__(self, cfg: MapConfig):
         super().__init__(cfg)
-        self.FIELD_FILLS = {"A": cfg.prior_A, "B": cfg.prior_B}
-        self.pool = base.BlockPool(self.V, self.FIELD_FILLS)
         self._vox_base = jnp.asarray(geo.voxel_offsets(cfg.resolution, cfg.block_depth))
+
+    def _field_fills(self):
+        return {"A": self.cfg.prior_A, "B": self.cfg.prior_B}
 
     def insert_pointcloud(self, cloud, origin, ds_resolution=None,
                           free_resolution=None, max_range=None) -> None:
@@ -207,23 +207,14 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         if cfg.original_size:
             self._prune(slots)
 
-    def _prune(self, slots: np.ndarray) -> None:
+    def _make_state_fn(self):
         cfg = self.cfg
-        sl = jnp.asarray(slots)
-        vals = {k: v[sl] for k, v in self.pool.fields.items()}
-        vals["touched"] = self.pool.touched[sl].astype(jnp.float32)
 
         def state_fn(v):
             return posterior.lv_state(v["A"], v["B"], v["touched"] > 0, cfg.min_W,
                                       cfg.var_thresh, cfg.free_thresh, cfg.occupied_thresh)
 
-        new_vals, new_eff = pruning.prune_blocks(
-            vals, self.pool.eff_level[sl], n=self.n,
-            max_level=cfg.block_depth - 1, state_fn=state_fn)
-        for k in self.pool.fields:
-            self.pool.fields[k] = self.pool.fields[k].at[sl].set(new_vals[k])
-        self.pool.touched = self.pool.touched.at[sl].set(new_vals["touched"] > 0)
-        self.pool.eff_level = self.pool.eff_level.at[sl].set(new_eff)
+        return state_fn
 
     def _posterior(self, fields):
         cfg = self.cfg

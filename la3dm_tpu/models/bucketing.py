@@ -87,17 +87,21 @@ def bucket_by_block(entry_coords: np.ndarray, entries: np.ndarray, labels: np.nd
     out_labels = np.zeros((B, S), np.float32)
     out_slots = np.zeros((B, S), np.int32)
     out_valid = np.zeros((B, S), bool)
-    for b in range(B):
-        o = 0
-        for g in range(G):
-            c = int(seg_count[b, g])
-            if c == 0:
-                continue
-            s0 = int(seg_start[b, g])
-            out_entries[b, o:o + c] = entries_s[s0:s0 + c]
-            out_labels[b, o:o + c] = labels_s[s0:s0 + c]
-            out_slots[b, o:o + c] = g
-            out_valid[b, o:o + c] = True
-            o += c
+    # vectorized ragged copy: one flat gather/scatter over all (b,g) segments
+    lens = seg_count.reshape(-1)                                   # [B*G]
+    starts_flat = seg_start.reshape(-1)
+    col_base = np.concatenate([np.zeros((B, 1), np.int64),
+                               np.cumsum(seg_count, axis=1)[:, :-1]], axis=1).reshape(-1)
+    total = int(lens.sum())
+    if total:
+        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        src = np.repeat(starts_flat, lens) + within
+        rows = np.repeat(np.arange(B * G) // G, lens)
+        cols = np.repeat(col_base, lens) + within
+        slot_of_pair = np.repeat(np.arange(B * G) % G, lens)
+        out_entries[rows, cols] = entries_s[src]
+        out_labels[rows, cols] = labels_s[src]
+        out_slots[rows, cols] = slot_of_pair
+        out_valid[rows, cols] = True
     return BlockBuckets(test_coords=test_coords, entries=out_entries,
                         labels=out_labels, slots=out_slots, valid=out_valid)

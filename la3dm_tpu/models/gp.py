@@ -61,16 +61,15 @@ def _bcm_apply(m_ivar, ivar, touched, slots, means, variances, present,
 
 
 class GPOctoMap(base.OccupancyMapBase):
-    FIELD_FILLS = {"m_ivar": 0.0, "ivar": 0.0}
-
     def __init__(self, cfg: MapConfig):
-        super().__init__(cfg)
         # min_ivar = 1/max_var etc. (gpoctomap.cpp:39-41)
         self.min_ivar = 1.0 / cfg.max_var
         self.max_ivar = 1.0 / cfg.min_var
         self.min_known_ivar = 1.0 / cfg.max_known_var
-        self.FIELD_FILLS = {"m_ivar": 0.0, "ivar": self.min_ivar}
-        self.pool = base.BlockPool(self.V, self.FIELD_FILLS)
+        super().__init__(cfg)
+
+    def _field_fills(self):
+        return {"m_ivar": 0.0, "ivar": self.min_ivar}
 
     def insert_pointcloud(self, cloud, origin, ds_resolution=None,
                           free_resolution=None, max_range=None) -> None:
@@ -150,26 +149,16 @@ class GPOctoMap(base.OccupancyMapBase):
             cfg.sf2, self.min_known_ivar, self.max_ivar)
         self._prune(slots)
 
-    def _prune(self, slots: np.ndarray) -> None:
-        if self.cfg.block_depth <= 1:
-            return
+    def _make_state_fn(self):
         cfg = self.cfg
-        sl = jnp.asarray(slots)
-        vals = {k: v[sl] for k, v in self.pool.fields.items()}
-        vals["touched"] = self.pool.touched[sl].astype(jnp.float32)
+        max_ivar, min_known_ivar = 1.0 / cfg.min_var, 1.0 / cfg.max_known_var
 
         def state_fn(v):
             return posterior.gp_state(v["m_ivar"], v["ivar"], v["touched"] > 0,
-                                      cfg.l, self.max_ivar, self.min_known_ivar,
+                                      cfg.l, max_ivar, min_known_ivar,
                                       cfg.free_thresh, cfg.occupied_thresh)
 
-        new_vals, new_eff = pruning.prune_blocks(
-            vals, self.pool.eff_level[sl], n=self.n,
-            max_level=cfg.block_depth - 1, state_fn=state_fn)
-        for k in self.pool.fields:
-            self.pool.fields[k] = self.pool.fields[k].at[sl].set(new_vals[k])
-        self.pool.touched = self.pool.touched.at[sl].set(new_vals["touched"] > 0)
-        self.pool.eff_level = self.pool.eff_level.at[sl].set(new_eff)
+        return state_fn
 
     def _posterior(self, fields):
         cfg = self.cfg

@@ -56,7 +56,7 @@ class OracleBGK(OracleMapBase):
         self.insert_training(pts, labels)
 
     def insert_training(self, pts, labels):
-        point_blocks = {self.block_coord(p) for p in pts}
+        point_blocks = self.point_blocks(pts)
         candidates = set()
         for c in point_blocks:
             candidates.update(self.extended(c))
@@ -118,7 +118,7 @@ class OracleGP(OracleMapBase):
     insert_pointcloud = OracleBGK.insert_pointcloud
 
     def insert_training(self, pts, labels):
-        point_blocks = {self.block_coord(p) for p in pts}
+        point_blocks = self.point_blocks(pts)
         candidates = set()
         for c in point_blocks:
             candidates.update(self.extended(c))
@@ -196,7 +196,7 @@ class OracleBGKL(OracleMapBase):
         if not xy:
             return
         pts = np.array([p for p, _ in xy], f32)
-        point_blocks = {self.block_coord(p) for p in pts}
+        point_blocks = self.point_blocks(pts)
         candidates = set()
         for c in point_blocks:
             candidates.update(self.extended(c))
@@ -297,8 +297,9 @@ class OracleBGKLV(OracleMapBase):
                 if dist < influence:
                     nearest_point = p1.astype(np.float64)
                     l = b / np.sqrt(lv_sq)
+            # dropped rays do NOT consume an idx: the reference's continue
+            # skips the ++idx at the loop end (bgklvoctomap.cpp:388-391, :420)
             if l < mr / 5.0 and l / (offset - nearest_point[2]) > 0:
-                idx += 1
                 continue
             free_endpt = origin + nx * f32(l)
             mu = 1.0

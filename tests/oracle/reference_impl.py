@@ -209,6 +209,26 @@ class OracleMapBase:
     def block_coord(self, p):
         return tuple(int(np.floor(float(c) / float(self.bs) + 0.5)) for c in p)
 
+    def point_blocks(self, pts):
+        """All blocks whose *closed* box contains ≥1 point.
+
+        The candidate sweep (get_blocks_in_bbox) is a bbox superset; the
+        test/model condition is the closed R-tree box query, under which a
+        boundary point belongs to both adjacent blocks.
+        """
+        out = set()
+        half = np.float32(self.bs) / np.float32(2.0)
+        for p in np.asarray(pts, f32):
+            base = self.block_coord(p)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        c = (base[0] + dx, base[1] + dy, base[2] + dz)
+                        ctr = self.block_center_of(c)
+                        if np.all(p >= ctr - half) and np.all(p <= ctr + half):
+                            out.add(c)
+        return out
+
     def block_center_of(self, coord):
         return (np.array(coord, np.float64) * f32(self.bs)).astype(f32)
 

@@ -23,7 +23,7 @@ def synthetic_scan(rng, n=120, scale=2.0, origin=(0.1, -0.2, 0.3)):
     return np.stack([x, y, z], -1).astype(np.float32), origin
 
 
-def compare_maps(fast, oracle_map, atol=2e-3, check_state=True):
+def compare_maps(fast, oracle_map, atol=2e-3, rtol=0.0, check_state=True):
     """Compare every base voxel of the oracle against the fast map."""
     ours_n = fast.n
     oracle_voxels = oracle_map.base_voxel_dict()
@@ -43,7 +43,7 @@ def compare_maps(fast, oracle_map, atol=2e-3, check_state=True):
         assert bc in slot_of, f"oracle block {bc} missing in fast map"
         s = slot_of[bc]
         ours = np.array([fields[names[0]][s, v], fields[names[1]][s, v]])
-        dev = np.abs(ours - leaf.value).max()
+        dev = (np.abs(ours - leaf.value) - rtol * np.abs(leaf.value)).max()
         max_dev = max(max_dev, float(dev))
         assert dev < atol, (
             f"block {bc} voxel {v}: ours={ours} oracle={leaf.value} "

@@ -75,8 +75,9 @@ def test_gp_single_scan(rng):
     om = OracleGP(GP_CFG)
     om.insert_pointcloud(cloud, origin, GP_CFG.ds_resolution, GP_CFG.free_resolution,
                          GP_CFG.max_range)
-    # GP solves propagate Cholesky roundoff; tolerance is looser
-    n, dev = compare_maps(fast, om, atol=5e-2)
+    # GP float32 Cholesky roundoff is amplified by the 1/σ² BCM weights
+    # (σ² ≈ noise near training points); compare with a relative term
+    n, dev = compare_maps(fast, om, atol=5e-2, rtol=0.02)
     assert n > 300
 
 
@@ -87,4 +88,4 @@ def test_gp_multi_scan(rng):
         fast.insert_pointcloud(cloud, origin)
         om.insert_pointcloud(cloud, origin, GP_CFG.ds_resolution, GP_CFG.free_resolution,
                              GP_CFG.max_range)
-    compare_maps(fast, om, atol=1e-1)
+    compare_maps(fast, om, atol=1e-1, rtol=0.05)

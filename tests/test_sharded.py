@@ -1,0 +1,67 @@
+"""Sharded-vs-single-device equivalence on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from la3dm_tpu.models.bgk import BGKOctoMap
+from la3dm_tpu.models.bgkl import BGKLOctoMap
+from la3dm_tpu.parallel import mesh as pm
+from la3dm_tpu.parallel.sharded_map import ShardedBGKOctoMap, ShardedBGKLOctoMap
+from tests.test_bgk_vs_oracle import CFG, synthetic_scan
+from tests.test_families_vs_oracle import BGKL_CFG
+
+
+def _as_voxel_dict(m):
+    slots = m.pool.active_slots()
+    coords = m.pool.coords[slots]
+    out = {}
+    fields = {k: np.asarray(v)[slots] for k, v in m.pool.fields.items()}
+    eff = np.asarray(m.pool.eff_level)[slots]
+    for i, c in enumerate(coords):
+        out[tuple(c)] = ({k: v[i] for k, v in fields.items()}, eff[i])
+    return out
+
+
+@pytest.mark.parametrize("cls_pair,cfg", [
+    ((BGKOctoMap, ShardedBGKOctoMap), CFG),
+    ((BGKLOctoMap, ShardedBGKLOctoMap), BGKL_CFG),
+])
+def test_sharded_matches_single(rng, cls_pair, cfg):
+    single_cls, sharded_cls = cls_pair
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = pm.block_mesh(8)
+
+    single = single_cls(cfg)
+    sharded = sharded_cls(cfg, mesh=mesh, capacity=2048)
+    for i in range(2):
+        cloud, origin = synthetic_scan(rng, n=80, origin=(0.1, -0.2 + 0.3 * i, 0.3))
+        single.insert_pointcloud(cloud, origin)
+        sharded.insert_pointcloud(cloud, origin)
+
+    dv_single = _as_voxel_dict(single)
+    dv_sharded = _as_voxel_dict(sharded)
+    assert set(dv_single) == set(dv_sharded)
+    for c in dv_single:
+        fs, es = dv_single[c]
+        fh, eh = dv_sharded[c]
+        for k in fs:
+            np.testing.assert_allclose(fs[k], fh[k], atol=1e-5, err_msg=f"{c} {k}")
+        np.testing.assert_array_equal(es, eh, err_msg=str(c))
+
+    # slots spread across device chunks
+    slots = sharded.pool.active_slots()
+    chunk = sharded.pool.chunk
+    used_devices = {int(s) // chunk for s in slots}
+    assert len(used_devices) == 8
+
+
+def test_sharded_search_and_leaves(rng):
+    mesh = pm.block_mesh(8)
+    m = ShardedBGKOctoMap(CFG, mesh=mesh, capacity=2048)
+    cloud, origin = synthetic_scan(rng, n=60)
+    m.insert_pointcloud(cloud, origin)
+    leaves = m.leaves()
+    assert len(leaves["x"]) > 0
+    out = m.search(cloud[:5])
+    assert out["prob"].shape == (5,)
