@@ -29,16 +29,16 @@ _CHUNK_B = 32  # blocks per lax.map chunk: bounds the [b,V,S] kernel intermediat
 @functools.partial(
     jax.jit,
     static_argnames=("num_slots", "sf2", "ell", "gate", "n", "max_level",
-                     "var_thresh", "free_thresh", "occupied_thresh", "segments", "update_pruned"),
+                     "segments", "update_pruned", "state_fn", "do_prune"),
     donate_argnames=("A", "Bv", "touched", "eff"),
 )
 def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers, entries, labels,
                      pslots, pvalid,
                      num_slots: int, sf2: float, ell: float, gate: float,
                      n: int, max_level: int,
-                     var_thresh: float, free_thresh: float, occupied_thresh: float,
-                     segments: bool, update_pruned: bool):
-    """One scan's prediction + Beta update + prune, fully on device.
+                     segments: bool, update_pruned: bool,
+                     state_fn=None, do_prune: bool = False):
+    """One scan's prediction + Beta update (+ prune), one device dispatch.
 
     ``slots`` is int32 [B] pool slots (== pool.capacity ⇒ padding row, dropped
     by the scatter).  ``entries`` [B,S,3|6] and ``centers`` [B,3] are
@@ -77,7 +77,19 @@ def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers, entries, la
     A = A.at[slots].add(dA, mode="drop")
     Bv = Bv.at[slots].add(dB, mode="drop")
     touched = touched.at[slots].max(tch, mode="drop")
-    return A, Bv, touched
+
+    if do_prune:
+        from la3dm_tpu.models import pruning
+
+        safe = jnp.minimum(slots, eff.shape[0] - 1)
+        vals = {"A": A[safe], "B": Bv[safe], "touched": touched[safe].astype(jnp.float32)}
+        new_vals, new_eff = pruning.prune_blocks(vals, eff[safe], n=n,
+                                                 max_level=max_level, state_fn=state_fn)
+        A = A.at[slots].set(new_vals["A"], mode="drop")
+        Bv = Bv.at[slots].set(new_vals["B"], mode="drop")
+        touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
+        eff = eff.at[slots].set(new_eff, mode="drop")
+    return A, Bv, touched, eff
 
 
 def _point_chunk(vox, pts, lab, slot, val, num_slots, sf2, ell):
@@ -174,7 +186,8 @@ class BGKOctoMap(base.OccupancyMapBase):
         centers[:B] = self.block_centers(buckets.test_coords)
 
         cfg = self.cfg
-        self.pool.fields["A"], self.pool.fields["B"], self.pool.touched = _bgk_update_step(
+        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+         self.pool.eff_level) = _bgk_update_step(
             self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
             self.pool.eff_level, self._level_offsets,
             jnp.asarray(slots_pad), jnp.asarray(centers),
@@ -182,10 +195,8 @@ class BGKOctoMap(base.OccupancyMapBase):
             jnp.asarray(pslots), jnp.asarray(valid),
             num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE,
             n=self.n, max_level=cfg.block_depth - 1,
-            var_thresh=cfg.var_thresh, free_thresh=cfg.free_thresh,
-            occupied_thresh=cfg.occupied_thresh,
-            segments=self.SEGMENTS, update_pruned=True)
-        self._prune(slots)
+            segments=self.SEGMENTS, update_pruned=True,
+            state_fn=self._state_fn, do_prune=cfg.block_depth > 1)
 
     def _make_state_fn(self):
         cfg = self.cfg

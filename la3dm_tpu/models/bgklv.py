@@ -29,12 +29,13 @@ from la3dm_tpu.utils.config import MapConfig
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sf2", "ell", "gate"),
-    donate_argnames=("A", "Bv", "touched"),
+    static_argnames=("sf2", "ell", "gate", "n", "max_level", "state_fn", "do_prune"),
+    donate_argnames=("A", "Bv", "touched", "eff"),
 )
 def _lv_update_step(A, Bv, touched, eff, slots, vox_base, centers,
                     hits, hits_valid, rays, rays_valid, samples, sample_ray, samples_valid,
-                    sf2: float, ell: float, gate: float):
+                    sf2: float, ell: float, gate: float,
+                    n: int = 0, max_level: int = 0, state_fn=None, do_prune: bool = False):
     """Per-voxel LV inference for a batch of blocks (world coordinates).
 
     hits [B,H,3]; rays [B,R,6]; samples [B,S,3] with sample_ray [B,S] int32;
@@ -80,7 +81,19 @@ def _lv_update_step(A, Bv, touched, eff, slots, vox_base, centers,
     A = A.at[slots].add(jnp.where(g, ybar, 0.0), mode="drop")
     Bv = Bv.at[slots].add(jnp.where(g, kbar - ybar, 0.0), mode="drop")
     touched = touched.at[slots].max(g, mode="drop")
-    return A, Bv, touched
+
+    if do_prune:
+        from la3dm_tpu.models import pruning
+
+        safe = jnp.minimum(slots, eff.shape[0] - 1)
+        vals = {"A": A[safe], "B": Bv[safe], "touched": touched[safe].astype(jnp.float32)}
+        new_vals, new_eff = pruning.prune_blocks(vals, eff[safe], n=n,
+                                                 max_level=max_level, state_fn=state_fn)
+        A = A.at[slots].set(new_vals["A"], mode="drop")
+        Bv = Bv.at[slots].set(new_vals["B"], mode="drop")
+        touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
+        eff = eff.at[slots].set(new_eff, mode="drop")
+    return A, Bv, touched, eff
 
 
 def _halo_blocks(points: np.ndarray, block_size: float, halo: float) -> tuple[np.ndarray, np.ndarray]:
@@ -169,19 +182,23 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         # samples grouped by block, but only those of rays active in the block
         samp_by_b = group(sb_keys, sb_idx)
 
-        Hm = base.round_up(max(max((len(x) for x in hits_by_b), default=1), 8), 8)
-        Rm = base.round_up(max(max((len(x) for x in rays_by_b), default=1), 8), 8)
-        Sm = base.round_up(max(max((len(x) for x in samp_by_b), default=1), 8), 8)
+        # pow2 padding on every axis: stable jit shapes across scans
+        Hm = base.next_pow2(max(max((len(x) for x in hits_by_b), default=1), 8))
+        Rm = base.next_pow2(max(max((len(x) for x in rays_by_b), default=1), 8))
+        Sm = base.next_pow2(max(max((len(x) for x in samp_by_b), default=1), 8))
+        B_pad = base.next_pow2(max(B, 8))
 
         coords_b = geo.unpack_key(active_keys)
-        centers = geo.block_center(coords_b, bs)
-        hits = np.zeros((B, Hm, 3), np.float32)
-        hits_valid = np.zeros((B, Hm), bool)
-        rays = np.zeros((B, Rm, 6), np.float32)
-        rays_valid = np.zeros((B, Rm), bool)
-        samples = np.zeros((B, Sm, 3), np.float32)
-        sample_ray = np.full((B, Sm), -1, np.int32)
-        samples_valid = np.zeros((B, Sm), bool)
+        centers_act = geo.block_center(coords_b, bs)
+        centers = np.zeros((B_pad, 3), np.float32)
+        centers[:B] = centers_act
+        hits = np.zeros((B_pad, Hm, 3), np.float32)
+        hits_valid = np.zeros((B_pad, Hm), bool)
+        rays = np.zeros((B_pad, Rm, 6), np.float32)
+        rays_valid = np.zeros((B_pad, Rm), bool)
+        samples = np.zeros((B_pad, Sm, 3), np.float32)
+        sample_ray = np.full((B_pad, Sm), -1, np.int32)
+        samples_valid = np.zeros((B_pad, Sm), bool)
         for b in range(B):
             hi = hits_by_b[b]
             hits[b, :len(hi)] = td.hits[hi]
@@ -195,17 +212,22 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             sample_ray[b, :len(si)] = [local_ray[int(td.sample_ray[i])] for i in si]
             samples_valid[b, :len(si)] = True
 
-        slots = self.pool.lookup(coords_b)
-        assert (slots >= 0).all()
-        self.pool.fields["A"], self.pool.fields["B"], self.pool.touched = _lv_update_step(
+        self.stats["kernel_evals"] += int(hits_valid.sum() + rays_valid.sum()) * self.V
+        self.stats["scans"] += 1
+        slots_act = self.pool.lookup(coords_b)
+        assert (slots_act >= 0).all()
+        slots = np.full(B_pad, self.pool.capacity, np.int32)
+        slots[:B] = slots_act
+        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+         self.pool.eff_level) = _lv_update_step(
             self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-            self.pool.eff_level, jnp.asarray(slots.astype(np.int32)), self._vox_base,
+            self.pool.eff_level, jnp.asarray(slots), self._vox_base,
             jnp.asarray(centers), jnp.asarray(hits), jnp.asarray(hits_valid),
             jnp.asarray(rays), jnp.asarray(rays_valid),
             jnp.asarray(samples), jnp.asarray(sample_ray), jnp.asarray(samples_valid),
-            sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE)
-        if cfg.original_size:
-            self._prune(slots)
+            sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE,
+            n=self.n, max_level=cfg.block_depth - 1, state_fn=self._state_fn,
+            do_prune=bool(cfg.original_size and cfg.block_depth > 1))
 
     def _make_state_fn(self):
         cfg = self.cfg

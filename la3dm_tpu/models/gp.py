@@ -41,12 +41,13 @@ def _train_predict_tier(points, labels, valid, xs, sf2, ell, noise):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sf2", "min_known_ivar", "max_ivar"),
-    donate_argnames=("m_ivar", "ivar", "touched"),
+    static_argnames=("sf2", "min_known_ivar", "max_ivar", "n", "max_level",
+                     "state_fn", "do_prune"),
+    donate_argnames=("m_ivar", "ivar", "touched", "eff"),
 )
-def _bcm_apply(m_ivar, ivar, touched, slots, means, variances, present,
-               sf2, min_known_ivar, max_ivar):
-    """Sequential BCM fusion over slots + scatter into the pool."""
+def _bcm_apply(m_ivar, ivar, touched, eff, slots, means, variances, present,
+               sf2, min_known_ivar, max_ivar, n, max_level, state_fn, do_prune):
+    """Sequential BCM fusion over slots + scatter into the pool (+ prune)."""
     cur_mi = m_ivar[jnp.minimum(slots, m_ivar.shape[0] - 1)]
     cur_iv = ivar[jnp.minimum(slots, ivar.shape[0] - 1)]
     new_mi, new_iv = kgp.bcm_update_sequential(
@@ -57,7 +58,20 @@ def _bcm_apply(m_ivar, ivar, touched, slots, means, variances, present,
     ivar = ivar.at[slots].set(jnp.where(any_present, new_iv, cur_iv), mode="drop")
     touched = touched.at[slots].max(
         jnp.broadcast_to(any_present, new_mi.shape), mode="drop")
-    return m_ivar, ivar, touched
+
+    if do_prune:
+        from la3dm_tpu.models import pruning
+
+        safe = jnp.minimum(slots, eff.shape[0] - 1)
+        vals = {"m_ivar": m_ivar[safe], "ivar": ivar[safe],
+                "touched": touched[safe].astype(jnp.float32)}
+        new_vals, new_eff = pruning.prune_blocks(vals, eff[safe], n=n,
+                                                 max_level=max_level, state_fn=state_fn)
+        m_ivar = m_ivar.at[slots].set(new_vals["m_ivar"], mode="drop")
+        ivar = ivar.at[slots].set(new_vals["ivar"], mode="drop")
+        touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
+        eff = eff.at[slots].set(new_eff, mode="drop")
+    return m_ivar, ivar, touched, eff
 
 
 class GPOctoMap(base.OccupancyMapBase):
@@ -112,6 +126,8 @@ class GPOctoMap(base.OccupancyMapBase):
         variances = np.ones((B, V, G), np.float32)
         present = np.zeros((B, G), bool)
 
+        self.stats["kernel_evals"] += int((counts ** 2).sum() + counts.sum() * G * V)
+        self.stats["scans"] += 1
         tier_of = np.power(2, np.ceil(np.log2(np.maximum(counts, 8)))).astype(np.int64)
         for tier in sorted(set(tier_of.tolist())):
             sel = np.where(tier_of == tier)[0]
@@ -142,12 +158,23 @@ class GPOctoMap(base.OccupancyMapBase):
                     variances[t, :, s] = var[i, s]
                     present[t, s] = True
 
-        self.pool.fields["m_ivar"], self.pool.fields["ivar"], self.pool.touched = _bcm_apply(
+        B_pad = base.next_pow2(max(B, 8))
+        slots_pad = np.full(B_pad, self.pool.capacity, np.int32)
+        slots_pad[:B] = slots
+
+        def pad(a, fill=0.0):
+            out = np.full((B_pad,) + a.shape[1:], fill, a.dtype)
+            out[:B] = a
+            return out
+
+        (self.pool.fields["m_ivar"], self.pool.fields["ivar"], self.pool.touched,
+         self.pool.eff_level) = _bcm_apply(
             self.pool.fields["m_ivar"], self.pool.fields["ivar"], self.pool.touched,
-            jnp.asarray(np.asarray(slots, np.int32)), jnp.asarray(means),
-            jnp.asarray(variances), jnp.asarray(present),
-            cfg.sf2, self.min_known_ivar, self.max_ivar)
-        self._prune(slots)
+            self.pool.eff_level,
+            jnp.asarray(slots_pad), jnp.asarray(pad(means)),
+            jnp.asarray(pad(variances, 1.0)), jnp.asarray(pad(present)),
+            cfg.sf2, self.min_known_ivar, self.max_ivar,
+            self.n, cfg.block_depth - 1, self._state_fn, cfg.block_depth > 1)
 
     def _make_state_fn(self):
         cfg = self.cfg

@@ -53,9 +53,14 @@ class StaticRunResult:
 
 def run_static(cfg: MapConfig, ds: DatasetConfig,
                progress: Optional[Callable[[int, float], None]] = None,
-               block_until_ready: bool = True) -> StaticRunResult:
-    """Run the offline scan-sequence demo; returns the map + timings."""
-    m = build_map(cfg)
+               block_per_scan: bool = False, map_obj=None) -> StaticRunResult:
+    """Run the offline scan-sequence demo; returns the map + timings.
+
+    By default the device work is left asynchronous between scans (the host
+    pipelines scan t+1's preprocessing against scan t's update) and only the
+    final state is synchronized — total_seconds is end-to-end wall clock.
+    """
+    m = map_obj if map_obj is not None else build_map(cfg)
     per_scan = []
     t0 = time.perf_counter()
     for i in range(1, ds.scan_num + 1):
@@ -64,13 +69,15 @@ def run_static(cfg: MapConfig, ds: DatasetConfig,
         # static nodes pass `resolution` as ds_resolution (static_node.cpp:95)
         m.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
                             free_resolution=cfg.free_resolution, max_range=ds.max_range)
-        if block_until_ready:
+        if block_per_scan:
             for arr in m.pool.fields.values():
                 arr.block_until_ready()
         dt = time.perf_counter() - t1
         per_scan.append(dt)
         if progress:
             progress(i, dt)
+    for arr in m.pool.fields.values():
+        arr.block_until_ready()
     total = time.perf_counter() - t0
     return StaticRunResult(map=m, per_scan_seconds=per_scan, total_seconds=total)
 
