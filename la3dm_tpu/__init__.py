@@ -19,6 +19,22 @@ evaluation over (training-point × test-voxel) tiles on the MXU.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: XLA compiles (remote on tunneled TPU) are the
+# dominant cold-start cost; cache them across processes.
+try:
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      ".jax_cache"))
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # older jax or read-only fs — cache is an optimization only
+    pass
+
 from la3dm_tpu.utils.config import MapConfig, DatasetConfig, load_method_config, load_dataset_config
 from la3dm_tpu.models.bgk import BGKOctoMap
 from la3dm_tpu.models.bgkl import BGKLOctoMap

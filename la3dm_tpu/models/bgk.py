@@ -4,10 +4,12 @@ TPU-native re-design of the reference BGK family pipeline
 (``src/bgkoctomap/bgkoctomap.cpp:214-366``): the per-scan
 training→prediction→update→prune phases become
 
-  host:   scan → training points (geometry/preprocess) → block buckets
-  device: one fused batched kernel: distance → sparse kernel → per-slot
-          (ȳ, k̄) matvec → gated Beta update → scatter into the pool →
-          dense prune.
+  host:   scan → training points (geometry/preprocess) → sort by block +
+          (start,count) neighbor tables (a few hundred KB shipped)
+  device: gather the per-test-block neighborhood, then one fused batched
+          kernel: distance → sparse kernel → per-slot (ȳ, k̄) matvec →
+          gated Beta update → scatter into the pool → dense prune —
+          all in a single dispatch per scan.
 """
 
 from __future__ import annotations
@@ -19,60 +21,84 @@ import jax
 import jax.numpy as jnp
 
 from la3dm_tpu.geometry import blocks as geo, preprocess
+from la3dm_tpu.kernels import math as km
 from la3dm_tpu.kernels import predict as kp
-from la3dm_tpu.models import base, bucketing, posterior, pruning
+from la3dm_tpu.models import base, bucketing, posterior
 from la3dm_tpu.utils.config import MapConfig
 
 _CHUNK_B = 32  # blocks per lax.map chunk: bounds the [b,V,S] kernel intermediate
 
 
+def _gather_rows(starts, counts, S):
+    """Device-side ragged gather plan: [B,G] segments → [B,S] (idx, slot, valid).
+
+    Row b concatenates its G neighbor segments; entry s of the row maps to
+    source index ``starts[b,g] + (s − off[b,g])`` for the g whose segment
+    covers s.
+    """
+    G = starts.shape[1]
+    off = jnp.concatenate(
+        [jnp.zeros_like(counts[:, :1]), jnp.cumsum(counts[:, :-1], axis=1)], axis=1)
+    scol = jnp.arange(S, dtype=jnp.int32)[None, :]
+    idx = jnp.zeros(starts.shape[:1] + (S,), jnp.int32)
+    slot = jnp.zeros_like(idx)
+    valid = jnp.zeros(idx.shape, bool)
+    for g in range(G):
+        rel = scol - off[:, g:g + 1]
+        in_g = (rel >= 0) & (rel < counts[:, g:g + 1])
+        idx = jnp.where(in_g, starts[:, g:g + 1] + rel, idx)
+        slot = jnp.where(in_g, g, slot)
+        valid = valid | in_g
+    return idx, slot, valid
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_slots", "sf2", "ell", "gate", "n", "max_level",
-                     "segments", "update_pruned", "state_fn", "do_prune"),
+    static_argnames=("S", "num_slots", "sf2", "ell", "gate", "n", "max_level",
+                     "segments", "state_fn", "do_prune"),
     donate_argnames=("A", "Bv", "touched", "eff"),
 )
-def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers, entries, labels,
-                     pslots, pvalid,
-                     num_slots: int, sf2: float, ell: float, gate: float,
-                     n: int, max_level: int,
-                     segments: bool, update_pruned: bool,
+def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers,
+                     entries, labels, starts, counts,
+                     S: int, num_slots: int, sf2: float, ell: float, gate: float,
+                     n: int, max_level: int, segments: bool,
                      state_fn=None, do_prune: bool = False):
-    """One scan's prediction + Beta update (+ prune), one device dispatch.
+    """One scan: device gather + prediction + Beta update + prune, one dispatch.
 
-    ``slots`` is int32 [B] pool slots (== pool.capacity ⇒ padding row, dropped
-    by the scatter).  ``entries`` [B,S,3|6] and ``centers`` [B,3] are
-    world-frame (kernel parity requires world coordinates; see bucketing).
+    ``slots`` int32 [B] pool slots (== pool.capacity ⇒ padding row, dropped by
+    the scatter); ``entries`` [N,D] sorted by block; ``starts``/``counts``
+    [B,G].  World-frame coordinates throughout (kernel parity).
     """
-    eff_b = eff[jnp.minimum(slots, eff.shape[0] - 1)]  # [B,V]
+    idx, pslots, pvalid = _gather_rows(starts, counts, S)     # [B,S]
+    eff_b = eff[jnp.minimum(slots, eff.shape[0] - 1)]          # [B,V]
     off = jnp.take_along_axis(
-        level_tab[None], eff_b[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]  # [B,V,3]
-    # Block::get_point = key_loc_map offset + block center (bgkblock.cpp:137-139)
-    vox = off + centers[:, None, :]
+        level_tab[None], eff_b[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]
+    vox = off + centers[:, None, :]                            # [B,V,3]
 
     def chunk_fn(args):
-        vx, en, lb, sl, va = args
-        if segments:
-            ybar, kbar = _segment_chunk(vx, en, lb, sl, va, num_slots, sf2, ell)
-        else:
-            ybar, kbar = _point_chunk(vx, en, lb, sl, va, num_slots, sf2, ell)
+        vx, ix, sl, va = args
+        en = entries[ix]                                       # [b,S,D]
+        lb = labels[ix]
+        def one(v, e, l, s, m):
+            if segments:
+                K = km.cov_sparse_segment(v, e, sf2, ell, lv=False)
+            else:
+                K = km.cov_sparse(v, e, sf2, ell)
+            K = jnp.where(m[None, :], K, 0.0)
+            rhs = kp._slot_rhs(l, s, m, num_slots)
+            out = jnp.dot(K, rhs, preferred_element_type=jnp.float32)
+            return out[:, :num_slots], out[:, num_slots:]
+        ybar, kbar = jax.vmap(one)(vx, en, lb, sl, va)
         return kp.beta_update(ybar, kbar, gate)
 
     B = slots.shape[0]
     nchunk = B // _CHUNK_B
 
-    def reshape_c(x):
+    def rc(x):
         return x.reshape(nchunk, _CHUNK_B, *x.shape[1:])
-    dA, dB, tch = jax.lax.map(
-        chunk_fn,
-        tuple(reshape_c(x) for x in (vox, entries, labels, pslots, pvalid)))
-    dA, dB, tch = (x.reshape(B, -1) for x in (dA, dB, tch))
 
-    if not update_pruned:
-        live = eff_b == 0  # LV skips leaves above base resolution (bgklvoctomap.cpp:157-160)
-        dA = jnp.where(live, dA, 0.0)
-        dB = jnp.where(live, dB, 0.0)
-        tch = tch & live
+    dA, dB, tch = jax.lax.map(chunk_fn, tuple(rc(x) for x in (vox, idx, pslots, pvalid)))
+    dA, dB, tch = (x.reshape(B, -1) for x in (dA, dB, tch))
 
     A = A.at[slots].add(dA, mode="drop")
     Bv = Bv.at[slots].add(dB, mode="drop")
@@ -90,36 +116,6 @@ def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers, entries, la
         touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
         eff = eff.at[slots].set(new_eff, mode="drop")
     return A, Bv, touched, eff
-
-
-def _point_chunk(vox, pts, lab, slot, val, num_slots, sf2, ell):
-    return jax.vmap(
-        lambda v, p, l, s, m: _one_block_points(v, p, l, s, m, num_slots, sf2, ell)
-    )(vox, pts, lab, slot, val)
-
-
-def _one_block_points(vox, pts, lab, slot, val, num_slots, sf2, ell):
-    from la3dm_tpu.kernels import math as km
-    K = km.cov_sparse(vox, pts, sf2, ell)
-    K = jnp.where(val[None, :], K, 0.0)
-    rhs = kp._slot_rhs(lab, slot, val, num_slots)
-    out = jnp.dot(K, rhs, preferred_element_type=jnp.float32)
-    return out[:, :num_slots], out[:, num_slots:]
-
-
-def _segment_chunk(vox, seg, lab, slot, val, num_slots, sf2, ell):
-    return jax.vmap(
-        lambda v, p, l, s, m: _one_block_segments(v, p, l, s, m, num_slots, sf2, ell)
-    )(vox, seg, lab, slot, val)
-
-
-def _one_block_segments(vox, seg, lab, slot, val, num_slots, sf2, ell):
-    from la3dm_tpu.kernels import math as km
-    K = km.cov_sparse_segment(vox, seg, sf2, ell, lv=False)
-    K = jnp.where(val[None, :], K, 0.0)
-    rhs = kp._slot_rhs(lab, slot, val, num_slots)
-    out = jnp.dot(K, rhs, preferred_element_type=jnp.float32)
-    return out[:, :num_slots], out[:, num_slots:]
 
 
 class BGKOctoMap(base.OccupancyMapBase):
@@ -154,36 +150,37 @@ class BGKOctoMap(base.OccupancyMapBase):
         """Integrate pre-labeled training points (bgkoctomap.cpp:82-212)."""
         points = points.astype(np.float32)
         coords, idx = geo.point_block_memberships(points, self.block_size)
-        buckets = bucketing.bucket_by_block(
-            coords, points[idx], labels.astype(np.float32)[idx],
-            self._neighbor_offsets, self.block_size)
-        self._apply_buckets(buckets)
+        tables = bucketing.bucket_tables(
+            coords, points[idx], labels.astype(np.float32)[idx], self._neighbor_offsets)
+        self._apply_tables(tables)
 
     # ------------------------------------------------------------- internals
 
-    def _apply_buckets(self, buckets: bucketing.BlockBuckets) -> None:
-        B = len(buckets.test_coords)
+    def _apply_tables(self, t: bucketing.BucketTables) -> None:
+        B = len(t.test_coords)
         if B == 0:
             return
-        self.stats["kernel_evals"] += int(buckets.valid.sum()) * self.V
+        self.stats["kernel_evals"] += int(t.counts.sum()) * self.V
         self.stats["scans"] += 1
-        slots = self.pool.ensure(buckets.test_coords)
-        B_pad = base.round_up(max(B, _CHUNK_B), _CHUNK_B)
-        S_pad = base.next_pow2(max(buckets.entries.shape[1], 128))
-        D = buckets.entries.shape[2]
+        slots = self.pool.ensure(t.test_coords)
 
-        entries = np.zeros((B_pad, S_pad, D), np.float32)
-        entries[:B, :buckets.entries.shape[1]] = buckets.entries
-        labels = np.zeros((B_pad, S_pad), np.float32)
-        labels[:B, :buckets.labels.shape[1]] = buckets.labels
-        pslots = np.zeros((B_pad, S_pad), np.int32)
-        pslots[:B, :buckets.slots.shape[1]] = buckets.slots
-        valid = np.zeros((B_pad, S_pad), bool)
-        valid[:B, :buckets.valid.shape[1]] = buckets.valid
+        B_pad = base.round_up(base.next_pow2(max(B, _CHUNK_B)), _CHUNK_B)
+        S = base.next_pow2(max(t.max_total, 128))
+        N_pad = base.next_pow2(max(len(t.entries), 256))
+        D = t.entries.shape[1]
+
+        entries = np.zeros((N_pad, D), np.float32)
+        entries[:len(t.entries)] = t.entries
+        labels = np.zeros(N_pad, np.float32)
+        labels[:len(t.labels)] = t.labels
+        starts = np.zeros((B_pad, t.starts.shape[1]), np.int32)
+        starts[:B] = t.starts
+        counts = np.zeros((B_pad, t.counts.shape[1]), np.int32)
+        counts[:B] = t.counts
         slots_pad = np.full(B_pad, self.pool.capacity, np.int32)
         slots_pad[:B] = slots
         centers = np.zeros((B_pad, 3), np.float32)
-        centers[:B] = self.block_centers(buckets.test_coords)
+        centers[:B] = self.block_centers(t.test_coords)
 
         cfg = self.cfg
         (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
@@ -192,10 +189,9 @@ class BGKOctoMap(base.OccupancyMapBase):
             self.pool.eff_level, self._level_offsets,
             jnp.asarray(slots_pad), jnp.asarray(centers),
             jnp.asarray(entries), jnp.asarray(labels),
-            jnp.asarray(pslots), jnp.asarray(valid),
-            num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE,
-            n=self.n, max_level=cfg.block_depth - 1,
-            segments=self.SEGMENTS, update_pruned=True,
+            jnp.asarray(starts), jnp.asarray(counts),
+            S=S, num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE,
+            n=self.n, max_level=cfg.block_depth - 1, segments=self.SEGMENTS,
             state_fn=self._state_fn, do_prune=cfg.block_depth > 1)
 
     def _make_state_fn(self):

@@ -57,9 +57,8 @@ class BGKLOctoMap(BGKOctoMap):
         if len(td.hits) == 0 and len(td.rays) == 0:
             return
         coords, entries, labels = segment_block_entries(td, self.block_size)
-        buckets = bucketing.bucket_by_block(
-            coords, entries, labels, self._neighbor_offsets, self.block_size)
-        self._apply_buckets(buckets)
+        tables = bucketing.bucket_tables(coords, entries, labels, self._neighbor_offsets)
+        self._apply_tables(tables)
 
     # The reference declares insert_training_data for BGKL but never
     # implemented it (bgkloctomap.h:89); here segment-level insertion works:
@@ -67,7 +66,7 @@ class BGKLOctoMap(BGKOctoMap):
         """Insert raw (segment, label) rows; each segment is indexed by its
         start point's block (degenerate handling as in insert_pointcloud)."""
         coords = geo.point_to_block_coord(segments[:, :3], self.block_size)
-        buckets = bucketing.bucket_by_block(
+        tables = bucketing.bucket_tables(
             coords, segments.astype(np.float32), labels.astype(np.float32),
-            self._neighbor_offsets, self.block_size)
-        self._apply_buckets(buckets)
+            self._neighbor_offsets)
+        self._apply_tables(tables)

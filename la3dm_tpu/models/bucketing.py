@@ -33,6 +33,43 @@ class BlockBuckets:
     valid: np.ndarray         # [B,S] bool
 
 
+@dataclasses.dataclass
+class BucketTables:
+    """Compact bucketing: sorted entries + per-(test block, slot) segments.
+
+    The padded [B,S,D] neighbor-gathered tensor is built ON DEVICE from these
+    (a few hundred KB instead of tens of MB shipped per scan — host→device
+    transfer is the latency driver on tunneled TPU).
+    """
+
+    test_coords: np.ndarray   # [B,3] int64
+    entries: np.ndarray       # [N,D] f32 sorted by owning block
+    labels: np.ndarray        # [N]   f32
+    starts: np.ndarray        # [B,G] int32 segment start in entries
+    counts: np.ndarray        # [B,G] int32 segment length
+    max_total: int            # max over rows of counts.sum(axis=1)
+
+
+def bucket_tables(entry_coords: np.ndarray, entries: np.ndarray, labels: np.ndarray,
+                  neighbor_offsets: np.ndarray) -> BucketTables:
+    """Sort entries by block and build the (start,count) neighbor table."""
+    order, ukeys, starts, counts = group_by_block(entry_coords)
+    entries_s = np.ascontiguousarray(entries[order], dtype=np.float32)
+    labels_s = np.ascontiguousarray(labels[order], dtype=np.float32)
+
+    test_coords = test_blocks_for(ukeys, neighbor_offsets)
+    B, G = len(test_coords), len(neighbor_offsets)
+    nb_keys = geo.pack_key(test_coords[:, None, :] + neighbor_offsets[None, :, :])
+    pos = np.searchsorted(ukeys, nb_keys.reshape(-1))
+    pos = np.clip(pos, 0, max(len(ukeys) - 1, 0))
+    hit = ukeys[pos] == nb_keys.reshape(-1) if len(ukeys) else np.zeros(pos.shape, bool)
+    seg_start = np.where(hit, starts[pos], 0).reshape(B, G).astype(np.int32)
+    seg_count = np.where(hit, counts[pos], 0).reshape(B, G).astype(np.int32)
+    max_total = int(seg_count.sum(axis=1).max()) if B else 0
+    return BucketTables(test_coords=test_coords, entries=entries_s, labels=labels_s,
+                        starts=seg_start, counts=seg_count, max_total=max_total)
+
+
 def group_by_block(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Sort entries by block key; return (order, unique_keys, starts, counts)."""
     keys = geo.pack_key(coords)
