@@ -164,9 +164,14 @@ class BGKOctoMap(base.OccupancyMapBase):
         self.stats["scans"] += 1
         slots = self.pool.ensure(t.test_coords)
 
-        B_pad = base.round_up(base.next_pow2(max(B, _CHUNK_B)), _CHUNK_B)
-        S = base.next_pow2(max(t.max_total, 128))
-        N_pad = base.next_pow2(max(len(t.entries), 256))
+        # monotone pow2 padding: shapes only ever grow, so the jitted step
+        # stabilizes after the first scans (recompiles are expensive,
+        # especially with remote compilation over the TPU tunnel)
+        pad = self._pad_state = getattr(self, "_pad_state", {"B": _CHUNK_B, "S": 128, "N": 256})
+        pad["B"] = max(pad["B"], base.round_up(base.next_pow2(max(B, _CHUNK_B)), _CHUNK_B))
+        pad["S"] = max(pad["S"], base.next_pow2(max(t.max_total, 128)))
+        pad["N"] = max(pad["N"], base.next_pow2(max(len(t.entries), 256)))
+        B_pad, S, N_pad = pad["B"], pad["S"], pad["N"]
         D = t.entries.shape[1]
 
         entries = np.zeros((N_pad, D), np.float32)

@@ -182,11 +182,13 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         # samples grouped by block, but only those of rays active in the block
         samp_by_b = group(sb_keys, sb_idx)
 
-        # pow2 padding on every axis: stable jit shapes across scans
-        Hm = base.next_pow2(max(max((len(x) for x in hits_by_b), default=1), 8))
-        Rm = base.next_pow2(max(max((len(x) for x in rays_by_b), default=1), 8))
-        Sm = base.next_pow2(max(max((len(x) for x in samp_by_b), default=1), 8))
-        B_pad = base.next_pow2(max(B, 8))
+        # monotone pow2 padding on every axis: stable jit shapes across scans
+        pad = self._pad_state = getattr(self, "_pad_state", {"H": 8, "R": 8, "S": 8, "B": 8})
+        pad["H"] = max(pad["H"], base.next_pow2(max(max((len(x) for x in hits_by_b), default=1), 8)))
+        pad["R"] = max(pad["R"], base.next_pow2(max(max((len(x) for x in rays_by_b), default=1), 8)))
+        pad["S"] = max(pad["S"], base.next_pow2(max(max((len(x) for x in samp_by_b), default=1), 8)))
+        pad["B"] = max(pad["B"], base.next_pow2(max(B, 8)))
+        Hm, Rm, Sm, B_pad = pad["H"], pad["R"], pad["S"], pad["B"]
 
         coords_b = geo.unpack_key(active_keys)
         centers_act = geo.block_center(coords_b, bs)
