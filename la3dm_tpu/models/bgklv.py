@@ -8,9 +8,14 @@ rays, :176-207), and runs a single-test-point BGKLV predict with gate
 k̄ > 0.001 (:236-238).  Leaves above base resolution are skipped (:157-160);
 pruning only runs with original_size (:271-272).
 
-TPU design: the reference's O(voxels) tiny GEMVs become, per block, one
-dense masked product: kernel [V × entries] with an L∞ membership mask, the
-ray-sample→ray reduction expressed as a one-hot matmul on the MXU.
+TPU design — the **tile engine**: the reference's O(voxels) tiny GEMVs
+become dense masked products over 8³-voxel tiles.  Each tile carries the
+indices of the rays/hits whose R-tree proxy samples fall in the tile's
+ℓ-halo; tiles are tiered by entry count so near-sensor tiles don't inflate
+the padding of the whole map.  Ray-sample cube membership is evaluated in
+closed form (interval arithmetic over the beam's sample grid) instead of
+materializing proxy samples.  Scatters address the pool as a flat
+[capacity·V] array.
 """
 
 from __future__ import annotations
@@ -26,84 +31,121 @@ from la3dm_tpu.kernels import math as km
 from la3dm_tpu.models import base, posterior, pruning
 from la3dm_tpu.utils.config import MapConfig
 
+# ray/hit-count tiers: fixed ladder so the jitted step compiles once per tier
+_TIERS = (32, 128, 512, 2048, 8192)
+
+
+def _ray_membership(vox, rays, rays_valid, free_res, ell):
+    """[V,R] bool: does any R-tree proxy sample of ray r lie in vox v's ±ℓ cube?
+
+    The reference inserts, per free ray, its origin plus backward beam samples
+    at d ∈ {l − k·fr > 0} and queries the closed cube (bgklvoctomap.cpp:
+    121-124, 152-171, beam_sample :431-447).  Samples lie on the segment, so
+    cube membership reduces to interval arithmetic: intersect the cube's
+    per-axis d-intervals, then ask whether an integer k lands inside — O(1)
+    per (voxel, ray) instead of per sample.
+    """
+    ellf = jnp.float32(ell)
+    fr = jnp.float32(free_res)
+    a = rays[:, 0:3]                       # free origin (the d = 0 sample)
+    b = rays[:, 3:6]
+    u = b - a                              # [R,3]
+    l = jnp.linalg.norm(u, axis=-1)        # [R]
+    nd = u / jnp.maximum(l, 1e-30)[:, None]
+
+    lo = (vox - ellf)[:, None, :]          # [V,1,3]
+    hi = (vox + ellf)[:, None, :]
+
+    in_a = jnp.all((a[None] >= lo) & (a[None] <= hi), axis=-1)  # [V,R]
+
+    n_ = nd[None, :, :]                    # [1,R,3]
+    a_ = a[None, :, :]
+    safe_n = jnp.where(jnp.abs(n_) < 1e-12, 1.0, n_)
+    t0 = (lo - a_) / safe_n
+    t1 = (hi - a_) / safe_n
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    flat = jnp.abs(n_) < 1e-12
+    slab_ok = (a_ >= lo) & (a_ <= hi)
+    tmin = jnp.where(flat, jnp.where(slab_ok, -jnp.inf, jnp.inf), tmin)
+    tmax = jnp.where(flat, jnp.where(slab_ok, jnp.inf, -jnp.inf), tmax)
+    dlo = jnp.max(tmin, axis=-1)           # [V,R]
+    dhi = jnp.min(tmax, axis=-1)
+
+    lr = l[None, :]
+    k_min = jnp.maximum(jnp.ceil((lr - dhi) / fr), 1.0)
+    k_max = jnp.minimum(jnp.floor((lr - jnp.maximum(dlo, 0.0)) / fr),
+                        jnp.ceil(lr / fr) - 1.0)  # d_k > 0
+    in_beam = (k_min <= k_max) & (dhi >= dlo)
+    return (in_a | in_beam) & rays_valid[None, :]
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sf2", "ell", "gate", "n", "max_level", "state_fn", "do_prune"),
-    donate_argnames=("A", "Bv", "touched", "eff"),
+    static_argnames=("V", "sf2", "ell", "free_res", "gate"),
+    donate_argnames=("A", "Bv", "touched"),
 )
-def _lv_update_step(A, Bv, touched, eff, slots, vox_base, centers,
-                    hits, hits_valid, rays, rays_valid, samples, sample_ray, samples_valid,
-                    sf2: float, ell: float, gate: float,
-                    n: int = 0, max_level: int = 0, state_fn=None, do_prune: bool = False):
-    """Per-voxel LV inference for a batch of blocks (world coordinates).
+def _lv_tile_step(A, Bv, touched, eff, slots, pos_id, block_centers,
+                  tile_vox_map, vox_base,
+                  rays, hits, ray_idx, ray_valid, hit_idx, hit_valid,
+                  V: int, sf2: float, ell: float, free_res: float, gate: float):
+    """One tier's tile batch: per-voxel LV inference + flat scatter.
 
-    hits [B,H,3]; rays [B,R,6]; samples [B,S,3] with sample_ray [B,S] int32;
-    centers [B,3] block centers (vox_base holds block-local base offsets).
+    A/Bv/touched/eff: flat [capacity·V] pool views (eff read-only).
+    slots [T] pool block slots (== capacity ⇒ padding), pos_id [T] tile
+    position within block; tile_vox_map [tpb,Vt] and vox_base [V,3] are
+    device-resident constants — flat addresses and voxel offsets are
+    reconstructed on device to keep the per-scan transfer small.
+    rays [R,6] / hits [H,3]: this scan's global entries (sentinel last row).
+    ray_idx [T,Rt] / hit_idx [T,Ht]: per-tile entry indices + valid masks.
     """
     ellf = jnp.float32(ell)
+    vox_map = tile_vox_map[pos_id]                             # [T,Vt]
+    flat_idx = slots[:, None].astype(jnp.int64) * V + vox_map  # padding ⇒ ≥ len
 
-    def per_block(args):
-        ctr, hv, hm, rv, rm, sv, sr, sm = args
-        vox = vox_base + ctr[None, :]
-        # ±ℓ cube membership as closed f32 interval tests, matching the
-        # R-tree query bounds lim = p ± ell (bgklvoctomap.cpp:152-171)
-        lo = vox - ellf  # [V,3], f32 exactly as the reference's p − half_size
+    def per_tile(args):
+        vmap_row, ctr, ridx, rmask, hidx, hmask = args
+        vox = ctr[None, :] + vox_base[vmap_row]                # [Vt,3]
+        rv = rays[ridx]                                        # [Rt,6]
+        hv = hits[hidx]                                        # [Ht,3]
+
+        lo = vox - ellf
         hi = vox + ellf
-
-        # -- hits: degenerate segments → plain point distance
-        dh = km.pairwise_dist(vox, hv)                            # [V,H]
         member_h = jnp.all(
             (hv[None, :, :] >= lo[:, None, :]) & (hv[None, :, :] <= hi[:, None, :]),
-            axis=-1) & hm[None, :]
+            axis=-1) & hmask[None, :]
+        dh = km.pairwise_dist(vox, hv)
         Kh = jnp.where(member_h, km.sparse_kernel_lv(dh / ellf, sf2), 0.0)
 
-        # -- rays: membership via any proxy sample in the ±ℓ cube (R-tree query)
-        member_s = jnp.all(
-            (sv[None, :, :] >= lo[:, None, :]) & (sv[None, :, :] <= hi[:, None, :]),
-            axis=-1) & sm[None, :]
-        onehot = (sr[:, None] == jnp.arange(rv.shape[0])[None, :]) & sm[:, None]
-        member_r = jnp.dot(member_s.astype(jnp.float32), onehot.astype(jnp.float32),
-                           preferred_element_type=jnp.float32) > 0.0  # [V,R]
+        member_r = _ray_membership(vox, rv, rmask, free_res, ell)
         dr = km.point_to_segment_dist(vox, rv)
-        Kr = jnp.where(member_r & rm[None, :], km.sparse_kernel_lv(dr / ellf, sf2), 0.0)
+        Kr = jnp.where(member_r, km.sparse_kernel_lv(dr / ellf, sf2), 0.0)
 
         ybar = jnp.sum(Kh, axis=1)
         kbar = ybar + jnp.sum(Kr, axis=1)
         return ybar, kbar
 
     ybar, kbar = jax.lax.map(
-        per_block, (centers, hits, hits_valid, rays, rays_valid, samples, sample_ray, samples_valid))
+        per_tile, (vox_map, block_centers,
+                   ray_idx, ray_valid, hit_idx, hit_valid))    # [T,Vt]
 
     g = kbar > jnp.float32(gate)
-    live = eff[jnp.minimum(slots, eff.shape[0] - 1)] == 0  # base-res leaves only
+    live = eff[jnp.minimum(flat_idx, eff.shape[0] - 1)] == 0   # base leaves only
     g = g & live
-    A = A.at[slots].add(jnp.where(g, ybar, 0.0), mode="drop")
-    Bv = Bv.at[slots].add(jnp.where(g, kbar - ybar, 0.0), mode="drop")
-    touched = touched.at[slots].max(g, mode="drop")
-
-    if do_prune:
-        from la3dm_tpu.models import pruning
-
-        safe = jnp.minimum(slots, eff.shape[0] - 1)
-        vals = {"A": A[safe], "B": Bv[safe], "touched": touched[safe].astype(jnp.float32)}
-        new_vals, new_eff = pruning.prune_blocks(vals, eff[safe], n=n,
-                                                 max_level=max_level, state_fn=state_fn)
-        A = A.at[slots].set(new_vals["A"], mode="drop")
-        Bv = Bv.at[slots].set(new_vals["B"], mode="drop")
-        touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
-        eff = eff.at[slots].set(new_eff, mode="drop")
-    return A, Bv, touched, eff
+    fi = flat_idx.reshape(-1)
+    A = A.at[fi].add(jnp.where(g, ybar, 0.0).reshape(-1), mode="drop")
+    Bv = Bv.at[fi].add(jnp.where(g, kbar - ybar, 0.0).reshape(-1), mode="drop")
+    touched = touched.at[fi].max(g.reshape(-1), mode="drop")
+    return A, Bv, touched
 
 
-def _halo_blocks(points: np.ndarray, block_size: float, halo: float) -> tuple[np.ndarray, np.ndarray]:
-    """All (block, point-index) pairs where the block's ±halo-expanded bbox
-    contains the point (closed bounds, matching the R-tree overlap test)."""
+def _halo_blocks(points: np.ndarray, cell: float, halo: float) -> tuple[np.ndarray, np.ndarray]:
+    """(cell coord, point idx) pairs where the ±halo-expanded cell [i·c, (i+1)·c]
+    contains the point (closed; superset — exact membership re-tested on device)."""
     p = points.astype(np.float64)
-    bs = float(block_size)
-    i_min = np.ceil((p - bs / 2 - halo) / bs).astype(np.int64)
-    i_max = np.floor((p + bs / 2 + halo) / bs).astype(np.int64)
-    span = i_max - i_min  # per axis, ≥0
+    i_min = np.floor((p - halo) / cell).astype(np.int64)
+    i_max = np.floor((p + halo) / cell).astype(np.int64)
+    span = i_max - i_min
     max_span = span.max(axis=0) if len(p) else np.zeros(3, np.int64)
     coords_list, idx_list = [], []
     for dx in range(int(max_span[0]) + 1):
@@ -111,8 +153,11 @@ def _halo_blocks(points: np.ndarray, block_size: float, halo: float) -> tuple[np
             for dz in range(int(max_span[2]) + 1):
                 d = np.array([dx, dy, dz])
                 ok = np.all(d <= span, axis=1)
-                coords_list.append(i_min[ok] + d)
-                idx_list.append(np.nonzero(ok)[0])
+                if ok.any():
+                    coords_list.append(i_min[ok] + d)
+                    idx_list.append(np.nonzero(ok)[0])
+    if not coords_list:
+        return np.zeros((0, 3), np.int64), np.zeros((0,), np.int64)
     return np.concatenate(coords_list), np.concatenate(idx_list)
 
 
@@ -121,7 +166,26 @@ class BGKLVOctoMap(base.OccupancyMapBase):
 
     def __init__(self, cfg: MapConfig):
         super().__init__(cfg)
-        self._vox_base = jnp.asarray(geo.voxel_offsets(cfg.resolution, cfg.block_depth))
+        self._vox_base = geo.voxel_offsets(cfg.resolution, cfg.block_depth)
+        # tile geometry: 8³ voxels (or the whole block when smaller)
+        self.tile_edge = min(8, self.n)
+        self.tiles_per_axis = self.n // self.tile_edge
+        self.Vt = self.tile_edge ** 3
+        # [tiles_per_block, Vt] raster voxel indices per tile position
+        tpa, te, n = self.tiles_per_axis, self.tile_edge, self.n
+        maps = []
+        for tz in range(tpa):
+            for ty in range(tpa):
+                for tx in range(tpa):
+                    idx = []
+                    for z in range(te):
+                        for y in range(te):
+                            for x in range(te):
+                                idx.append((tx * te + x) + (ty * te + y) * n
+                                           + (tz * te + z) * n * n)
+                    maps.append(idx)
+        self._tile_vox_map = np.asarray(maps, np.int32)       # [tpb, Vt]
+        self._pad_state: dict = {}
 
     def _field_fills(self):
         return {"A": self.cfg.prior_A, "B": self.cfg.prior_B}
@@ -131,9 +195,10 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         cfg = self.cfg
         ds = cfg.ds_resolution if ds_resolution is None else ds_resolution
         ds = min(ds, cfg.resolution)  # clamp (bgklvoctomap.cpp:102-104)
+        fr = cfg.free_resolution if free_resolution is None else free_resolution
+        self._last_free_res = float(fr)
         td = preprocess.bgklv_training_data(
-            cloud, origin, ds,
-            cfg.free_resolution if free_resolution is None else free_resolution,
+            cloud, origin, ds, fr,
             cfg.max_range if max_range is None else max_range, cfg.ell)
         self._integrate(td)
 
@@ -142,9 +207,8 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         all_pts = np.concatenate([td.hits, td.samples], axis=0)
         if len(all_pts) == 0:
             return
-        # candidate blocks: the reference's float-stepped bbox sweep
-        # (get_blocks_in_bbox via bgkloctomap.cpp:409-418) — every block from
-        # lim_min−bs to lim_max+2bs is created in block_arr
+        # candidate blocks: the reference's float-stepped bbox sweep creates
+        # every block from lim_min−bs to lim_max+2bs (bgkloctomap.cpp:409-418)
         bs = self.block_size
         lim_min, lim_max = all_pts.min(0).astype(np.float64), all_pts.max(0).astype(np.float64)
         los, his = [], []
@@ -152,84 +216,124 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             k_max = int(np.floor((lim_max[ax] + 2 * bs - (lim_min[ax] - bs)) / bs))
             los.append(int(np.floor((lim_min[ax] - bs) / bs + 0.5)))
             his.append(int(np.floor((lim_min[ax] - bs + k_max * bs) / bs + 0.5)))
-        gx, gy, gz = np.meshgrid(*[np.arange(lo, hi + 1) for lo, hi in zip(los, his)], indexing="ij")
+        gx, gy, gz = np.meshgrid(*[np.arange(lo, hi + 1) for lo, hi in zip(los, his)],
+                                 indexing="ij")
         cand = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.int64)
         self.pool.ensure(cand)
 
-        halo = cfg.ell  # voxel cubes reach ≤ bs/2 − res/2 + ℓ from center
-        hb_coords, hb_idx = _halo_blocks(td.hits, bs, halo)
-        sb_coords, sb_idx = _halo_blocks(td.samples, bs, halo)
+        # tile grid in the block-corner frame: blocks are CENTERED at k·bs
+        # (round-half-up hashing), so shift by bs/2 to make tile m cover
+        # q ∈ [m·ts, (m+1)·ts) with block k = floor(m / tpa) exactly aligned
+        ts = bs / self.tiles_per_axis
+        halo = cfg.ell  # voxel cubes reach ≤ ts − res/2 + ell from tile corners
+        shift = np.float64(bs) / 2.0
+        ht_coords, ht_idx = _halo_blocks(td.hits.astype(np.float64) + shift, ts, halo)
+        st_coords, st_idx = _halo_blocks(td.samples.astype(np.float64) + shift, ts, halo)
 
-        # group per block
-        hb_keys, sb_keys = geo.pack_key(hb_coords), geo.pack_key(sb_coords)
-        # rays follow their samples: dedupe (block, ray)
-        ray_pairs = np.unique(np.stack([sb_keys, td.sample_ray[sb_idx]], 1), axis=0)
+        ht_keys = geo.pack_key(ht_coords)
+        st_keys = geo.pack_key(st_coords)
+        ray_pairs = np.unique(np.stack([st_keys, td.sample_ray[st_idx]], 1), axis=0)
 
-        active_keys = np.unique(np.concatenate([hb_keys, ray_pairs[:, 0]]))
-        key_to_b = {int(k): i for i, k in enumerate(active_keys)}
-        B = len(active_keys)
-        if B == 0:
+        active_keys = np.unique(np.concatenate([ht_keys, ray_pairs[:, 0]]))
+        key_to_t = {int(k): i for i, k in enumerate(active_keys)}
+        T = len(active_keys)
+        if T == 0:
             return
 
-        def group(keys, payload_idx):
-            by_b = [[] for _ in range(B)]
-            for k, i in zip(keys, payload_idx):
-                by_b[key_to_b[int(k)]].append(i)
-            return by_b
+        hits_by_t = [[] for _ in range(T)]
+        for k, i in zip(ht_keys, ht_idx):
+            hits_by_t[key_to_t[int(k)]].append(i)
+        rays_by_t = [[] for _ in range(T)]
+        for k, r in zip(ray_pairs[:, 0], ray_pairs[:, 1]):
+            rays_by_t[key_to_t[int(k)]].append(r)
 
-        hits_by_b = group(hb_keys, hb_idx)
-        rays_by_b = group(ray_pairs[:, 0], ray_pairs[:, 1])
-        # samples grouped by block, but only those of rays active in the block
-        samp_by_b = group(sb_keys, sb_idx)
+        tile_coords = geo.unpack_key(active_keys)               # [T,3]
+        tpa = self.tiles_per_axis
+        blk_coords = np.floor_divide(tile_coords, tpa)
+        tile_pos = tile_coords - blk_coords * tpa               # [T,3] ∈ [0,tpa)
+        pos_id = (tile_pos[:, 0] + tile_pos[:, 1] * tpa
+                  + tile_pos[:, 2] * tpa * tpa).astype(np.int32)
+        slots = self.pool.lookup(blk_coords)
+        # only blocks in THIS scan's candidate sweep are updated (the reference
+        # iterates the sweep's blocks); halo spill outside it is dropped too
+        cand_set = set(geo.pack_key(cand).tolist())
+        in_sweep = np.fromiter((int(k) in cand_set for k in geo.pack_key(blk_coords)),
+                               bool, count=len(blk_coords))
+        keep = (slots >= 0) & in_sweep
+        blk_coords, pos_id, slots = blk_coords[keep], pos_id[keep], slots[keep]
+        hits_by_t = [h for h, k in zip(hits_by_t, keep) if k]
+        rays_by_t = [r for r, k in zip(rays_by_t, keep) if k]
+        T = len(slots)
+        if T == 0:
+            return
 
-        # monotone pow2 padding on every axis: stable jit shapes across scans
-        pad = self._pad_state = getattr(self, "_pad_state", {"H": 8, "R": 8, "S": 8, "B": 8})
-        pad["H"] = max(pad["H"], base.next_pow2(max(max((len(x) for x in hits_by_b), default=1), 8)))
-        pad["R"] = max(pad["R"], base.next_pow2(max(max((len(x) for x in rays_by_b), default=1), 8)))
-        pad["S"] = max(pad["S"], base.next_pow2(max(max((len(x) for x in samp_by_b), default=1), 8)))
-        pad["B"] = max(pad["B"], base.next_pow2(max(B, 8)))
-        Hm, Rm, Sm, B_pad = pad["H"], pad["R"], pad["S"], pad["B"]
-
-        coords_b = geo.unpack_key(active_keys)
-        centers_act = geo.block_center(coords_b, bs)
-        centers = np.zeros((B_pad, 3), np.float32)
-        centers[:B] = centers_act
-        hits = np.zeros((B_pad, Hm, 3), np.float32)
-        hits_valid = np.zeros((B_pad, Hm), bool)
-        rays = np.zeros((B_pad, Rm, 6), np.float32)
-        rays_valid = np.zeros((B_pad, Rm), bool)
-        samples = np.zeros((B_pad, Sm, 3), np.float32)
-        sample_ray = np.full((B_pad, Sm), -1, np.int32)
-        samples_valid = np.zeros((B_pad, Sm), bool)
-        for b in range(B):
-            hi = hits_by_b[b]
-            hits[b, :len(hi)] = td.hits[hi]
-            hits_valid[b, :len(hi)] = True
-            ri = rays_by_b[b]
-            local_ray = {int(r): j for j, r in enumerate(ri)}
-            rays[b, :len(ri)] = td.rays[ri]
-            rays_valid[b, :len(ri)] = True
-            si = [i for i in samp_by_b[b] if int(td.sample_ray[i]) in local_ray]
-            samples[b, :len(si)] = td.samples[si]
-            sample_ray[b, :len(si)] = [local_ray[int(td.sample_ray[i])] for i in si]
-            samples_valid[b, :len(si)] = True
-
-        self.stats["kernel_evals"] += int(hits_valid.sum() + rays_valid.sum()) * self.V
+        centers = geo.block_center(blk_coords, bs)              # [T,3]
+        hit_n = np.array([len(x) for x in hits_by_t])
+        ray_n = np.array([len(x) for x in rays_by_t])
+        self.stats["kernel_evals"] += int((hit_n + ray_n).sum()) * self.Vt
         self.stats["scans"] += 1
-        slots_act = self.pool.lookup(coords_b)
-        assert (slots_act >= 0).all()
-        slots = np.full(B_pad, self.pool.capacity, np.int32)
-        slots[:B] = slots_act
-        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-         self.pool.eff_level) = _lv_update_step(
-            self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-            self.pool.eff_level, jnp.asarray(slots), self._vox_base,
-            jnp.asarray(centers), jnp.asarray(hits), jnp.asarray(hits_valid),
-            jnp.asarray(rays), jnp.asarray(rays_valid),
-            jnp.asarray(samples), jnp.asarray(sample_ray), jnp.asarray(samples_valid),
-            sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE,
-            n=self.n, max_level=cfg.block_depth - 1, state_fn=self._state_fn,
-            do_prune=bool(cfg.original_size and cfg.block_depth > 1))
+
+        R = len(td.rays)
+        H = len(td.hits)
+        rays_dev = jnp.asarray(np.concatenate(
+            [td.rays, np.zeros((1, 6), np.float32)]))           # sentinel row
+        hits_dev = jnp.asarray(np.concatenate(
+            [td.hits, np.zeros((1, 3), np.float32)]))
+
+        if not hasattr(self, "_dev_consts"):
+            self._dev_consts = (jnp.asarray(self._tile_vox_map),
+                                jnp.asarray(self._vox_base))
+        tvm_dev, vb_dev = self._dev_consts
+
+        total = np.maximum(hit_n, ray_n)
+        Af = self.pool.fields["A"].reshape(-1)
+        Bf = self.pool.fields["B"].reshape(-1)
+        Tf = self.pool.touched.reshape(-1)
+        Ef = self.pool.eff_level.reshape(-1)
+        prev = 0
+        for tier in _TIERS:
+            sel = np.nonzero((total > prev) & (total <= tier))[0] if prev \
+                else np.nonzero(total <= tier)[0]
+            prev = tier
+            if len(sel) == 0:
+                continue
+            p = self._pad_state.setdefault(tier, {"T": 8})
+            p["T"] = max(p["T"], base.next_pow2(max(len(sel), 8)))
+            Tp, Rt, Ht = p["T"], tier, tier
+
+            slots_p = np.full(Tp, self.pool.capacity, np.int32)
+            pos_p = np.zeros(Tp, np.int32)
+            ctrs = np.zeros((Tp, 3), np.float32)
+            ridx = np.full((Tp, Rt), R, np.int32)
+            rmask = np.zeros((Tp, Rt), bool)
+            hidx = np.full((Tp, Ht), H, np.int32)
+            hmask = np.zeros((Tp, Ht), bool)
+            for j, t in enumerate(sel):
+                slots_p[j] = slots[t]
+                pos_p[j] = pos_id[t]
+                ctrs[j] = centers[t]
+                rr = rays_by_t[t]
+                ridx[j, :len(rr)] = rr
+                rmask[j, :len(rr)] = True
+                hh = hits_by_t[t]
+                hidx[j, :len(hh)] = hh
+                hmask[j, :len(hh)] = True
+
+            Af, Bf, Tf = _lv_tile_step(
+                Af, Bf, Tf, Ef,
+                jnp.asarray(slots_p), jnp.asarray(pos_p), jnp.asarray(ctrs),
+                tvm_dev, vb_dev, rays_dev, hits_dev,
+                jnp.asarray(ridx), jnp.asarray(rmask),
+                jnp.asarray(hidx), jnp.asarray(hmask),
+                V=self.V, sf2=cfg.sf2, ell=cfg.ell,
+                free_res=self._last_free_res, gate=self.GATE)
+
+        self.pool.fields["A"] = Af.reshape(self.pool.capacity, self.V)
+        self.pool.fields["B"] = Bf.reshape(self.pool.capacity, self.V)
+        self.pool.touched = Tf.reshape(self.pool.capacity, self.V)
+
+        if cfg.original_size and cfg.block_depth > 1:
+            self._prune(np.unique(slots))
 
     def _make_state_fn(self):
         cfg = self.cfg
@@ -243,11 +347,13 @@ class BGKLVOctoMap(base.OccupancyMapBase):
     def _posterior(self, fields):
         cfg = self.cfg
         A, B = fields["A"], fields["B"]
-        W = np.maximum(A + B, cfg.min_W)
-        occ = A / (W - B) + (W - A - B) * 0.5 / (W - B)
-        free = 0.5 * (W - B - A) / (W - A)
-        prob = np.where(A > B, occ, free)
-        var = (A / W) * (1 - prob) ** 2 + ((W - A - B) / W) * (0.5 - prob) ** 2 + (B / W) * prob ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            W = np.maximum(A + B, cfg.min_W)
+            occ = A / (W - B) + (W - A - B) * 0.5 / (W - B)
+            free = 0.5 * (W - B - A) / (W - A)
+            prob = np.where(A > B, occ, free)
+            var = (A / W) * (1 - prob) ** 2 + ((W - A - B) / W) * (0.5 - prob) ** 2 \
+                + (B / W) * prob ** 2
         st = np.where(prob > cfg.occupied_thresh, posterior.OCCUPIED,
                       np.where(prob < cfg.free_thresh, posterior.FREE, posterior.UNKNOWN))
         st = np.where(var > cfg.var_thresh, posterior.UNCERTAIN, st)

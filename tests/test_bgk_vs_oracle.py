@@ -23,8 +23,16 @@ def synthetic_scan(rng, n=120, scale=2.0, origin=(0.1, -0.2, 0.3)):
     return np.stack([x, y, z], -1).astype(np.float32), origin
 
 
-def compare_maps(fast, oracle_map, atol=2e-3, rtol=0.0, check_state=True):
-    """Compare every base voxel of the oracle against the fast map."""
+def compare_maps(fast, oracle_map, atol=2e-3, rtol=0.0, check_state=True,
+                 touched_mass_tol=1e-5):
+    """Compare every base voxel of the oracle against the fast map.
+
+    ``touched_mass_tol``: touched-flag parity is only asserted when the added
+    posterior mass exceeds this — update gates sit on float boundaries (the
+    sparse kernel clamp for BGK/BGKL; cube-membership of beam samples for LV,
+    where the TPU path evaluates the sample grid in closed form and can
+    differ by 1 ulp from the reference's accumulated sample positions).
+    """
     ours_n = fast.n
     oracle_voxels = oracle_map.base_voxel_dict()
     assert len(oracle_voxels) > 0
@@ -52,7 +60,7 @@ def compare_maps(fast, oracle_map, atol=2e-3, rtol=0.0, check_state=True):
         # value is O(1e-8) and its sign depends on float summation order —
         # touched-flag parity is only well-defined away from that boundary.
         mass = max(np.abs(ours - prior).max(), np.abs(leaf.value - prior).max())
-        if mass > 1e-5:
+        if mass > touched_mass_tol:
             assert bool(touched[s, v]) == leaf.classified, (bc, v, leaf.value, ours)
         n_checked += 1
     # block sets must agree exactly

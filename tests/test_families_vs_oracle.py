@@ -54,7 +54,7 @@ def test_bgklv_single_scan(rng):
     om = OracleBGKLV(LV_CFG)
     om.insert_pointcloud(cloud, origin, LV_CFG.ds_resolution, LV_CFG.free_resolution,
                          LV_CFG.max_range)
-    n, dev = compare_maps(fast, om, atol=3e-3)
+    n, dev = compare_maps(fast, om, atol=3e-3, touched_mass_tol=5e-3)
     assert n > 300
 
 
@@ -65,7 +65,7 @@ def test_bgklv_multi_scan(rng):
         fast.insert_pointcloud(cloud, origin)
         om.insert_pointcloud(cloud, origin, LV_CFG.ds_resolution, LV_CFG.free_resolution,
                              LV_CFG.max_range)
-    compare_maps(fast, om, atol=5e-3)
+    compare_maps(fast, om, atol=5e-3, touched_mass_tol=5e-3)
 
 
 def test_gp_single_scan(rng):
