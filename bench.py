@@ -1,14 +1,19 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Primary metric: BGK scan-integration throughput (scans/s) on the reference's
-sim_structured demo workload (12 scans × 3500 pts, default BGK config),
-steady-state (second pass with a warm jit cache, fresh map).
+Configs (BASELINE.md): scan-integration throughput on the reference's
+sim_structured demo workload (12 scans × 3500 pts, demo method configs) for
+BGKLV (the reference launch default method), BGK and BGKL.  Each method is
+run once to warm the jit cache and once fresh for the steady-state number.
 
-vs_baseline: ratio against the single-core C++ reference stand-in
-(native/baseline_bgk.cpp — a faithful single-threaded implementation of the
-reference BGK hot path; the upstream ROS package cannot build here).  The
-binary is built on first use and timed on this machine.
+vs_baseline: ratio against single-core C++ reference stand-ins
+(native/baseline_bgk.cpp, native/baseline_lv.cpp — faithful single-threaded
+implementations of the reference hot paths with equal-or-faster spatial
+indexing; the ROS/PCL upstream cannot build here).  Built and timed on this
+machine.
+
+Primary metric = BGKLV; per-method details are included in the same JSON
+object.
 """
 
 import json
@@ -19,19 +24,31 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 DATA = "/root/reference/data/sim_structured"
+PRIMARY = "bgklv"
 
 
-def cpp_baseline_scans_per_s() -> float:
-    exe = os.path.join(REPO, "native", "baseline_bgk")
-    src = os.path.join(REPO, "native", "baseline_bgk.cpp")
+def _build(exe, src):
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
         subprocess.run(["g++", "-O3", "-march=native", "-ffast-math", "-o", exe, src],
                        check=True)
-    best = 0.0
-    for _ in range(3):
-        out = subprocess.run([exe, DATA, "sim_structured", "12", "--json"],
-                             capture_output=True, text=True, check=True)
-        best = max(best, json.loads(out.stdout)["scans_per_s"])
+
+
+def cpp_baseline(method: str) -> dict:
+    native = os.path.join(REPO, "native")
+    if method == "bgk":
+        exe = os.path.join(native, "baseline_bgk")
+        _build(exe, exe + ".cpp")
+        cmd = [exe, DATA, "sim_structured", "12", "--json"]
+    else:
+        exe = os.path.join(native, "baseline_lv")
+        _build(exe, exe + ".cpp")
+        cmd = [exe, method, DATA, "sim_structured", "12", "--json"]
+    best = None
+    for _ in range(2):
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        r = json.loads(out.stdout)
+        if best is None or r["scans_per_s"] > best["scans_per_s"]:
+            best = r
     return best
 
 
@@ -43,30 +60,37 @@ def main() -> int:
     import jax
 
     platform = jax.devices()[0].platform
-    cfg = load_method_config("bgk")
     ds = load_dataset_config("sim_structured")
 
-    run_static(cfg, ds)            # warmup: compiles + caches
-    res = run_static(cfg, ds)      # steady state, fresh map
-    scans_per_s = res.scans_per_second
-    evals = res.map.stats["kernel_evals"]
-    evals_per_s = evals / res.total_seconds
+    results = {}
+    for method in ("bgk", "bgkl", "bgklv"):
+        cfg = load_method_config(method)
+        t0 = time.time()
+        run_static(cfg, ds)                 # warm: compiles (persistent-cached)
+        warm_s = time.time() - t0
+        res = run_static(cfg, ds)           # steady state, fresh map
+        try:
+            base = cpp_baseline(method)
+            base_sps = base["scans_per_s"]
+        except Exception as e:
+            print(f"baseline {method} failed: {e}", file=sys.stderr)
+            base_sps = {"bgk": 71.1, "bgkl": 5.3, "bgklv": 0.81}[method]
+        results[method] = {
+            "scans_per_s": round(res.scans_per_second, 3),
+            "vs_baseline": round(res.scans_per_second / base_sps, 3),
+            "baseline_scans_per_s": round(base_sps, 3),
+            "kernel_evals_per_s": round(res.map.stats["kernel_evals"] / res.total_seconds, 1),
+            "warmup_s": round(warm_s, 1),
+        }
 
-    try:
-        base = cpp_baseline_scans_per_s()
-    except Exception as e:  # keep the bench alive without a toolchain
-        print(f"baseline build failed: {e}", file=sys.stderr)
-        base = 71.1  # measured on this machine class, see native/baseline_bgk.cpp
-
+    p = results[PRIMARY]
     print(json.dumps({
-        "metric": "bgk_scan_integration_throughput_sim_structured",
-        "value": round(scans_per_s, 3),
+        "metric": f"{PRIMARY}_scan_integration_throughput_sim_structured",
+        "value": p["scans_per_s"],
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_s / base, 3),
-        "baseline_scans_per_s": round(base, 3),
-        "kernel_evals_per_s": round(evals_per_s, 1),
+        "vs_baseline": p["vs_baseline"],
         "device": platform,
-        "per_scan_ms": [round(1e3 * t, 2) for t in res.per_scan_seconds],
+        "methods": results,
     }))
     return 0
 

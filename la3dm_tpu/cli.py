@@ -108,6 +108,42 @@ def cmd_server(args) -> int:
     return 0
 
 
+def cmd_bag(args) -> int:
+    """Replay a ROS bag through the online pipeline (the reference server's
+    role: cloudHandler per message with a motion gate, bgkoctomap_server.cpp:44-89)."""
+    from la3dm_tpu.geometry.preprocess import voxel_downsample
+    from la3dm_tpu.io.rosbag import replay
+
+    cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    m = build_map(cfg)
+    last_pos = None
+    n_used = 0
+    t_all = time.perf_counter()
+    for cloud, origin in replay(args.bag, cloud_topic=args.cloud_topic,
+                                pose_topic=args.pose_topic):
+        # motion gate: integrate only if moved > 0.1 m (server.cpp:17-20,60;
+        # the rotation gate needs orientation, not parsed here)
+        if last_pos is not None and np.linalg.norm(origin - last_pos) <= 0.1 and n_used:
+            continue
+        last_pos = origin
+        t0 = time.perf_counter()
+        if cfg.method != "bgklv":
+            # the server pre-downsamples before insert (server.cpp:70-82)
+            cloud = voxel_downsample(cloud, cfg.ds_resolution)
+        m.insert_pointcloud(cloud, origin)
+        n_used += 1
+        print(f"One cloud finished in {time.perf_counter() - t0:.3f}s "
+              f"({len(cloud)} pts)", flush=True)
+    print(f"{n_used} clouds integrated in {time.perf_counter() - t_all:.3f}s; "
+          f"{m.pool.n_blocks} blocks")
+    if args.out:
+        ex = export_leaves(m, original_size=cfg.original_size)
+        markers.export_ply(args.out + "_occupied.ply", ex["occupied"], "occupied",
+                           cfg.resolution, cfg.min_z, cfg.max_z)
+        m.save(args.out + "_map.npz")
+    return 0
+
+
 def cmd_query(args) -> int:
     """Load a checkpoint and query points (the search() API as a CLI)."""
     cfg = load_method_config(args.method, **_parse_overrides(args.set))
@@ -141,6 +177,15 @@ def main(argv=None) -> int:
     p.add_argument("--once", action="store_true")
     _add_overrides(p)
     p.set_defaults(fn=cmd_server)
+
+    p = sub.add_parser("bag", help="replay a ROS bag through the online pipeline")
+    p.add_argument("--method", default="bgklv")
+    p.add_argument("--bag", required=True)
+    p.add_argument("--cloud-topic", default="/selected_pc2_map")
+    p.add_argument("--pose-topic", default="/robot_pose")
+    p.add_argument("--out", default="")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_bag)
 
     p = sub.add_parser("query", help="query a saved map checkpoint")
     p.add_argument("--method", default="bgklv")

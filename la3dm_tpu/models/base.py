@@ -222,6 +222,14 @@ class OccupancyMapBase:
     def _posterior(self, fields: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         raise NotImplementedError
 
+    def get_bbox(self) -> tuple[np.ndarray, np.ndarray]:
+        """Map bounding box over existing blocks (bgkoctomap.cpp:368-381)."""
+        if self.pool.n_blocks == 0:
+            return np.zeros(3, np.float32), np.zeros(3, np.float32)
+        centers = self.block_centers(self.pool.coords[self.pool.active_slots()])
+        half = np.float32(self.block_size / 2.0)
+        return centers.min(0) - half, centers.max(0) + half
+
     # -- export (LeafIterator equivalent) ---------------------------------
 
     def leaves(self, expand_pruned: bool = True) -> dict[str, np.ndarray]:

@@ -235,17 +235,23 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         ray_pairs = np.unique(np.stack([st_keys, td.sample_ray[st_idx]], 1), axis=0)
 
         active_keys = np.unique(np.concatenate([ht_keys, ray_pairs[:, 0]]))
-        key_to_t = {int(k): i for i, k in enumerate(active_keys)}
         T = len(active_keys)
         if T == 0:
             return
 
-        hits_by_t = [[] for _ in range(T)]
-        for k, i in zip(ht_keys, ht_idx):
-            hits_by_t[key_to_t[int(k)]].append(i)
-        rays_by_t = [[] for _ in range(T)]
-        for k, r in zip(ray_pairs[:, 0], ray_pairs[:, 1]):
-            rays_by_t[key_to_t[int(k)]].append(r)
+        def segments(keys, payload):
+            """Sorted payload + per-active-tile (start,count)."""
+            order = np.argsort(keys, kind="stable")
+            ks, ps = keys[order], payload[order]
+            uk, st, ct = np.unique(ks, return_index=True, return_counts=True)
+            pos = np.searchsorted(uk, active_keys)
+            pos = np.clip(pos, 0, max(len(uk) - 1, 0))
+            hit = (uk[pos] == active_keys) if len(uk) else np.zeros(T, bool)
+            return ps, np.where(hit, st[pos], 0), np.where(hit, ct[pos], 0)
+
+        hits_sorted, h_start, h_count = segments(ht_keys, ht_idx.astype(np.int32))
+        rays_sorted, r_start, r_count = segments(ray_pairs[:, 0],
+                                                 ray_pairs[:, 1].astype(np.int32))
 
         tile_coords = geo.unpack_key(active_keys)               # [T,3]
         tpa = self.tiles_per_axis
@@ -261,15 +267,14 @@ class BGKLVOctoMap(base.OccupancyMapBase):
                                bool, count=len(blk_coords))
         keep = (slots >= 0) & in_sweep
         blk_coords, pos_id, slots = blk_coords[keep], pos_id[keep], slots[keep]
-        hits_by_t = [h for h, k in zip(hits_by_t, keep) if k]
-        rays_by_t = [r for r, k in zip(rays_by_t, keep) if k]
+        h_start, h_count = h_start[keep], h_count[keep]
+        r_start, r_count = r_start[keep], r_count[keep]
         T = len(slots)
         if T == 0:
             return
 
         centers = geo.block_center(blk_coords, bs)              # [T,3]
-        hit_n = np.array([len(x) for x in hits_by_t])
-        ray_n = np.array([len(x) for x in rays_by_t])
+        hit_n, ray_n = h_count, r_count
         self.stats["kernel_evals"] += int((hit_n + ray_n).sum()) * self.Vt
         self.stats["scans"] += 1
 
@@ -304,20 +309,24 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             slots_p = np.full(Tp, self.pool.capacity, np.int32)
             pos_p = np.zeros(Tp, np.int32)
             ctrs = np.zeros((Tp, 3), np.float32)
-            ridx = np.full((Tp, Rt), R, np.int32)
-            rmask = np.zeros((Tp, Rt), bool)
-            hidx = np.full((Tp, Ht), H, np.int32)
-            hmask = np.zeros((Tp, Ht), bool)
-            for j, t in enumerate(sel):
-                slots_p[j] = slots[t]
-                pos_p[j] = pos_id[t]
-                ctrs[j] = centers[t]
-                rr = rays_by_t[t]
-                ridx[j, :len(rr)] = rr
-                rmask[j, :len(rr)] = True
-                hh = hits_by_t[t]
-                hidx[j, :len(hh)] = hh
-                hmask[j, :len(hh)] = True
+            slots_p[:len(sel)] = slots[sel]
+            pos_p[:len(sel)] = pos_id[sel]
+            ctrs[:len(sel)] = centers[sel]
+
+            def fill(sorted_payload, starts, counts, width, fill_value):
+                out = np.full((Tp, width), fill_value, np.int32)
+                mask = np.zeros((Tp, width), bool)
+                lens = counts[sel]
+                tot = int(lens.sum())
+                if tot:
+                    within = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+                    rows = np.repeat(np.arange(len(sel)), lens)
+                    out[rows, within] = sorted_payload[np.repeat(starts[sel], lens) + within]
+                    mask[rows, within] = True
+                return out, mask
+
+            ridx, rmask = fill(rays_sorted, r_start, r_count, Rt, R)
+            hidx, hmask = fill(hits_sorted, h_start, h_count, Ht, H)
 
             Af, Bf, Tf = _lv_tile_step(
                 Af, Bf, Tf, Ef,
