@@ -24,14 +24,16 @@ import os as _os
 import jax as _jax
 
 # Persistent compilation cache: XLA compiles (remote on tunneled TPU) are the
-# dominant cold-start cost; cache them across processes.
+# dominant cold-start cost; cache them across processes.  CPU is excluded —
+# its AOT artifacts are machine-feature-pinned and reload noisily.
 try:
-    _cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-                      ".jax_cache"))
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if "cpu" not in _os.environ.get("JAX_PLATFORMS", ""):
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                          ".jax_cache"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:  # older jax or read-only fs — cache is an optimization only
     pass
 
