@@ -1,0 +1,92 @@
+"""ctypes bindings for the native host-preprocessing library.
+
+Builds/loads ``native/libla3dm_host.so`` (C++, see native/host_preprocess.cpp)
+and exposes :func:`lv_training_data` with the same output contract as the
+numpy implementation in geometry/preprocess.py.  Falls back silently to
+numpy when no compiler/library is available (``available()`` reports which).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libla3dm_host.so")
+_SRC = os.path.join(_NATIVE_DIR, "host_preprocess.cpp")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.lv_training_data.restype = ctypes.c_int
+        lib.lv_training_data.argtypes = [
+            f32p, ctypes.c_int, f32p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            f32p, ip, f32p, ip, f32p, i32p, ip,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def lv_training_data(cloud: np.ndarray, origin: np.ndarray, ds: float, fr: float,
+                     max_range: float, ell: float):
+    """Native BGKLV training-data build; returns a SegmentTrainingData or
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    from la3dm_tpu.geometry.preprocess import SegmentTrainingData
+
+    cloud = np.ascontiguousarray(cloud, np.float32)
+    origin = np.ascontiguousarray(np.asarray(origin, np.float32).reshape(3))
+    n = len(cloud)
+    max_h, max_r = n + 8, n + 8
+    max_s = 64
+    while True:
+        max_s = max(max_s, int((max_range / max(fr, 1e-6) + 2) * max_r))
+        hits = np.empty((max_h, 3), np.float32)
+        rays = np.empty((max_r, 6), np.float32)
+        samples = np.empty((max_s, 3), np.float32)
+        sample_ray = np.empty(max_s, np.int32)
+        nh, nr, ns = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        rc = lib.lv_training_data(
+            cloud.reshape(-1), n, origin, ds, fr, max_range, ell,
+            hits.reshape(-1), ctypes.byref(nh), rays.reshape(-1), ctypes.byref(nr),
+            samples.reshape(-1), sample_ray, ctypes.byref(ns),
+            max_h, max_r, max_s)
+        if rc == 0:
+            break
+        max_h *= 2
+        max_r *= 2
+        max_s *= 2
+    return SegmentTrainingData(
+        hits=hits[:nh.value].copy(), rays=rays[:nr.value].copy(),
+        samples=samples[:ns.value].copy(),
+        sample_ray=sample_ray[:ns.value].astype(np.int64))

@@ -34,11 +34,14 @@ def voxel_downsample(points: np.ndarray, leaf: float) -> np.ndarray:
         return np.asarray(points, dtype=np.float32)
     pts = np.asarray(points, dtype=np.float32)
     ijk = np.floor(pts * np.float32(1.0 / leaf)).astype(np.int64)
-    # lexicographic voxel id (PCL sorts by a flattened index; order only
-    # affects float summation order downstream, not semantics)
+    # PCL orders leaves by flattened index (x fastest, z slowest) — z-major
+    # lexicographic.  The order matters downstream: LV's sequential
+    # ray-shortening recurrence iterates hits in this order.
     order = np.lexsort((ijk[:, 0], ijk[:, 1], ijk[:, 2]))
     ijk_s, pts_s = ijk[order], pts[order]
-    uniq, start, counts = np.unique(ijk_s, axis=0, return_index=True, return_counts=True)
+    change = np.any(ijk_s[1:] != ijk_s[:-1], axis=1)
+    start = np.concatenate([[0], np.nonzero(change)[0] + 1])
+    counts = np.diff(np.concatenate([start, [len(ijk_s)]]))
     sums = np.add.reduceat(pts_s.astype(np.float64), start, axis=0)
     return (sums / counts[:, None]).astype(np.float32)
 

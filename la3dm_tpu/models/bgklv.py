@@ -125,9 +125,24 @@ def _lv_tile_step(A, Bv, touched, eff, slots, pos_id, block_centers,
         kbar = ybar + jnp.sum(Kr, axis=1)
         return ybar, kbar
 
+    # chunked vmap: lax.map's per-iteration overhead dwarfs a single tile's
+    # work; batch tiles and let lax.map step over chunks.  Chunk size scales
+    # inversely with the tier's ray width to bound the [chunk,Vt,Rt] live set.
+    T = vox_map.shape[0]
+    chunk = min(max(16384 // max(ray_idx.shape[1], 1), 1), 32, T)
+    while T % chunk:
+        chunk //= 2
+    nchunk = T // chunk
+
+    def rc(x):
+        return x.reshape(nchunk, chunk, *x.shape[1:])
+
     ybar, kbar = jax.lax.map(
-        per_tile, (vox_map, block_centers,
-                   ray_idx, ray_valid, hit_idx, hit_valid))    # [T,Vt]
+        lambda args: jax.vmap(lambda *a: per_tile(a))(*args),
+        tuple(rc(x) for x in (vox_map, block_centers,
+                              ray_idx, ray_valid, hit_idx, hit_valid)))
+    ybar = ybar.reshape(T, -1)
+    kbar = kbar.reshape(T, -1)                                  # [T,Vt]
 
     g = kbar > jnp.float32(gate)
     live = eff[jnp.minimum(flat_idx, eff.shape[0] - 1)] == 0   # base leaves only
@@ -196,10 +211,13 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         ds = cfg.ds_resolution if ds_resolution is None else ds_resolution
         ds = min(ds, cfg.resolution)  # clamp (bgklvoctomap.cpp:102-104)
         fr = cfg.free_resolution if free_resolution is None else free_resolution
+        mr = cfg.max_range if max_range is None else max_range
         self._last_free_res = float(fr)
-        td = preprocess.bgklv_training_data(
-            cloud, origin, ds, fr,
-            cfg.max_range if max_range is None else max_range, cfg.ell)
+        from la3dm_tpu.geometry import native
+
+        td = native.lv_training_data(cloud, origin, ds, fr, mr, cfg.ell)
+        if td is None:  # no native toolchain — numpy fallback
+            td = preprocess.bgklv_training_data(cloud, origin, ds, fr, mr, cfg.ell)
         self._integrate(td)
 
     def _integrate(self, td: preprocess.SegmentTrainingData) -> None:

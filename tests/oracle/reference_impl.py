@@ -83,7 +83,9 @@ def voxel_downsample(points, leaf):
     ijk = np.floor(pts * f32(1.0 / leaf)).astype(np.int64)
     order = np.lexsort((ijk[:, 0], ijk[:, 1], ijk[:, 2]))
     ijk, pts = ijk[order], pts[order]
-    _, start, counts = np.unique(ijk, axis=0, return_index=True, return_counts=True)
+    change = np.any(ijk[1:] != ijk[:-1], axis=1)
+    start = np.concatenate([[0], np.nonzero(change)[0] + 1])
+    counts = np.diff(np.concatenate([start, [len(ijk)]]))
     sums = np.add.reduceat(pts.astype(np.float64), start, axis=0)
     return (sums / counts[:, None]).astype(f32)
 
