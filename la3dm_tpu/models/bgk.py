@@ -28,6 +28,10 @@ from la3dm_tpu.utils.config import MapConfig
 
 _CHUNK_B = 32  # blocks per lax.map chunk: bounds the [b,V,S] kernel intermediate
 
+# monotone pad sizes shared across map instances with the same config, so a
+# fresh map starts at the converged shapes (and reuses executables)
+_GLOBAL_PADS: dict = {}
+
 
 def _gather_rows(starts, counts, S):
     """Device-side ragged gather plan: [B,G] segments → [B,S] (idx, slot, valid).
@@ -167,7 +171,8 @@ class BGKOctoMap(base.OccupancyMapBase):
         # monotone pow2 padding: shapes only ever grow, so the jitted step
         # stabilizes after the first scans (recompiles are expensive,
         # especially with remote compilation over the TPU tunnel)
-        pad = self._pad_state = getattr(self, "_pad_state", {"B": _CHUNK_B, "S": 128, "N": 256})
+        pad = _GLOBAL_PADS.setdefault((type(self).__name__, self.cfg),
+                                      {"B": _CHUNK_B, "S": 128, "N": 256})
         pad["B"] = max(pad["B"], base.round_up(base.next_pow2(max(B, _CHUNK_B)), _CHUNK_B))
         pad["S"] = max(pad["S"], base.next_pow2(max(t.max_total, 128)))
         pad["N"] = max(pad["N"], base.next_pow2(max(len(t.entries), 256)))
@@ -201,12 +206,7 @@ class BGKOctoMap(base.OccupancyMapBase):
 
     def _make_state_fn(self):
         cfg = self.cfg
-
-        def state_fn(v):
-            return posterior.beta_state(v["A"], v["B"], v["touched"] > 0,
-                                        cfg.var_thresh, cfg.free_thresh, cfg.occupied_thresh)
-
-        return state_fn
+        return posterior.BetaStateFn(cfg.var_thresh, cfg.free_thresh, cfg.occupied_thresh)
 
     def _posterior(self, fields: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         cfg = self.cfg

@@ -34,6 +34,9 @@ from la3dm_tpu.utils.config import MapConfig
 # ray/hit-count tiers: fixed ladder so the jitted step compiles once per tier
 _TIERS = (32, 128, 512, 2048, 8192)
 
+# monotone pad sizes shared across map instances with the same config
+_GLOBAL_PADS: dict = {}
+
 
 def _ray_membership(vox, rays, rays_valid, free_res, ell):
     """[V,R] bool: does any R-tree proxy sample of ray r lie in vox v's ±ℓ cube?
@@ -320,7 +323,8 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             prev = tier
             if len(sel) == 0:
                 continue
-            p = self._pad_state.setdefault(tier, {"T": 8})
+            pads = _GLOBAL_PADS.setdefault((type(self).__name__, self.cfg), {})
+            p = pads.setdefault(tier, {"T": 8})
             p["T"] = max(p["T"], base.next_pow2(max(len(sel), 8)))
             Tp, Rt, Ht = p["T"], tier, tier
 
@@ -364,12 +368,8 @@ class BGKLVOctoMap(base.OccupancyMapBase):
 
     def _make_state_fn(self):
         cfg = self.cfg
-
-        def state_fn(v):
-            return posterior.lv_state(v["A"], v["B"], v["touched"] > 0, cfg.min_W,
-                                      cfg.var_thresh, cfg.free_thresh, cfg.occupied_thresh)
-
-        return state_fn
+        return posterior.LVStateFn(cfg.min_W, cfg.var_thresh, cfg.free_thresh,
+                                   cfg.occupied_thresh)
 
     def _posterior(self, fields):
         cfg = self.cfg

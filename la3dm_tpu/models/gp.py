@@ -178,14 +178,8 @@ class GPOctoMap(base.OccupancyMapBase):
 
     def _make_state_fn(self):
         cfg = self.cfg
-        max_ivar, min_known_ivar = 1.0 / cfg.min_var, 1.0 / cfg.max_known_var
-
-        def state_fn(v):
-            return posterior.gp_state(v["m_ivar"], v["ivar"], v["touched"] > 0,
-                                      cfg.l, max_ivar, min_known_ivar,
-                                      cfg.free_thresh, cfg.occupied_thresh)
-
-        return state_fn
+        return posterior.GPStateFn(cfg.l, 1.0 / cfg.min_var, 1.0 / cfg.max_known_var,
+                                   cfg.free_thresh, cfg.occupied_thresh)
 
     def _posterior(self, fields):
         cfg = self.cfg

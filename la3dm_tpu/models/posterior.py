@@ -86,3 +86,48 @@ def gp_state(m_ivar, ivar, touched, l, max_ivar, min_known_ivar, free_thresh, oc
     )
     st = jnp.where(ivar < jnp.float32(min_known_ivar), UNKNOWN, by_p).astype(jnp.int8)
     return jnp.where(touched, st, jnp.int8(UNKNOWN))
+
+
+# ---------------------------------------------------------------- state fns
+# Value-hashable callables for use as jit static arguments: two maps with the
+# same config share compiled executables (a fresh closure per map would make
+# every map instance recompile every shape).
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class BetaStateFn:
+    var_thresh: float
+    free_thresh: float
+    occupied_thresh: float
+
+    def __call__(self, v):
+        return beta_state(v["A"], v["B"], v["touched"] > 0,
+                          self.var_thresh, self.free_thresh, self.occupied_thresh)
+
+
+@_dc.dataclass(frozen=True)
+class LVStateFn:
+    min_W: float
+    var_thresh: float
+    free_thresh: float
+    occupied_thresh: float
+
+    def __call__(self, v):
+        return lv_state(v["A"], v["B"], v["touched"] > 0, self.min_W,
+                        self.var_thresh, self.free_thresh, self.occupied_thresh)
+
+
+@_dc.dataclass(frozen=True)
+class GPStateFn:
+    l: float
+    max_ivar: float
+    min_known_ivar: float
+    free_thresh: float
+    occupied_thresh: float
+
+    def __call__(self, v):
+        return gp_state(v["m_ivar"], v["ivar"], v["touched"] > 0, self.l,
+                        self.max_ivar, self.min_known_ivar,
+                        self.free_thresh, self.occupied_thresh)
