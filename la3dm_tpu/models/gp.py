@@ -184,8 +184,9 @@ class GPOctoMap(base.OccupancyMapBase):
     def _posterior(self, fields):
         cfg = self.cfg
         mi, iv = fields["m_ivar"], fields["ivar"]
-        prob = 1.0 / (1.0 + np.exp(-cfg.l * mi / self.max_ivar))
-        var = 1.0 / iv
+        with np.errstate(over="ignore", divide="ignore"):
+            prob = 1.0 / (1.0 + np.exp(-cfg.l * mi / self.max_ivar))
+            var = 1.0 / iv
         st = np.where(prob > cfg.occupied_thresh, posterior.OCCUPIED,
                       np.where(prob < cfg.free_thresh, posterior.FREE, posterior.UNKNOWN))
         st = np.where(iv < self.min_known_ivar, posterior.UNKNOWN, st)
