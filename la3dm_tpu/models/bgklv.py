@@ -265,6 +265,9 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             order = np.argsort(keys, kind="stable")
             ks, ps = keys[order], payload[order]
             uk, st, ct = np.unique(ks, return_index=True, return_counts=True)
+            if len(uk) == 0:  # e.g. no hits at all when max_range ≤ 0 (ref :323-334)
+                z = np.zeros(T, np.int64)
+                return ps, z, z
             pos = np.searchsorted(uk, active_keys)
             pos = np.clip(pos, 0, max(len(uk) - 1, 0))
             hit = (uk[pos] == active_keys) if len(uk) else np.zeros(T, bool)

@@ -27,6 +27,8 @@ from la3dm_tpu.geometry import blocks as geo
 from la3dm_tpu.models import base
 from la3dm_tpu.models.bgk import BGKOctoMap
 from la3dm_tpu.models.bgkl import BGKLOctoMap
+from la3dm_tpu.models.bgklv import BGKLVOctoMap
+from la3dm_tpu.models.gp import GPOctoMap
 from la3dm_tpu.parallel import mesh as pm
 from la3dm_tpu.utils.config import MapConfig
 
@@ -91,3 +93,25 @@ class ShardedBGKOctoMap(_ShardedMixin, BGKOctoMap):
 
 class ShardedBGKLOctoMap(_ShardedMixin, BGKLOctoMap):
     """BGKL map with the block pool sharded over a 1-D mesh."""
+
+
+class ShardedGPOctoMap(_ShardedMixin, GPOctoMap):
+    """GP map: batched Cholesky tiers parallelize over the model-batch axis;
+    the BCM scatter addresses the sharded pool (all-to-all over ICI)."""
+
+
+class ShardedBGKLVOctoMap(_ShardedMixin, BGKLVOctoMap):
+    """LV map: the tile engine's flat [capacity·V] pool views reshape a
+    slot-sharded [capacity, V] array, so each device owns a contiguous flat
+    slab and the per-tile scatter stays GSPMD-partitioned."""
+
+    def __init__(self, cfg: MapConfig, mesh=None, capacity: int = 8192):
+        super().__init__(cfg, mesh=mesh, capacity=capacity)
+        # device-resident tile constants, replicated (lazily created in the
+        # base class; eager + replicated here so jit sees consistent devices)
+        import jax.numpy as jnp
+
+        self._dev_consts = (
+            jax.device_put(jnp.asarray(self._tile_vox_map), pm.replicated(self._mesh)),
+            jax.device_put(jnp.asarray(self._vox_base), pm.replicated(self._mesh)),
+        )

@@ -6,10 +6,13 @@ import pytest
 
 from la3dm_tpu.models.bgk import BGKOctoMap
 from la3dm_tpu.models.bgkl import BGKLOctoMap
+from la3dm_tpu.models.bgklv import BGKLVOctoMap
+from la3dm_tpu.models.gp import GPOctoMap
 from la3dm_tpu.parallel import mesh as pm
-from la3dm_tpu.parallel.sharded_map import ShardedBGKOctoMap, ShardedBGKLOctoMap
+from la3dm_tpu.parallel.sharded_map import (
+    ShardedBGKOctoMap, ShardedBGKLOctoMap, ShardedBGKLVOctoMap, ShardedGPOctoMap)
 from tests.test_bgk_vs_oracle import CFG, synthetic_scan
-from tests.test_families_vs_oracle import BGKL_CFG
+from tests.test_families_vs_oracle import BGKL_CFG, GP_CFG, LV_CFG
 
 
 def _as_voxel_dict(m):
@@ -26,6 +29,8 @@ def _as_voxel_dict(m):
 @pytest.mark.parametrize("cls_pair,cfg", [
     ((BGKOctoMap, ShardedBGKOctoMap), CFG),
     ((BGKLOctoMap, ShardedBGKLOctoMap), BGKL_CFG),
+    ((BGKLVOctoMap, ShardedBGKLVOctoMap), LV_CFG),
+    ((GPOctoMap, ShardedGPOctoMap), GP_CFG),
 ])
 def test_sharded_matches_single(rng, cls_pair, cfg):
     single_cls, sharded_cls = cls_pair
