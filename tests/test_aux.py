@@ -1,0 +1,151 @@
+"""Aux-surface tests: raycast, marker coloring/export, CLI end-to-end.
+
+Covers the reference's visualization semantics (include/common/
+markerarray_pub.h), the RayCaster capability (bgkoctomap.h:91-214) and the
+launch-file surface (launch/la3dm_static.launch) via the CLI.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from la3dm_tpu.models.bgk import BGKOctoMap
+from la3dm_tpu.models import raycast, posterior
+from la3dm_tpu.utils.config import MapConfig, DatasetConfig
+from la3dm_tpu.viz import colormap, markers
+from la3dm_tpu.io.pcd import save_pcd, load_pcd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _occupied_wall_map():
+    """Small BGK map with an occupied wall at x≈2 and free space before it."""
+    cfg = MapConfig(method="bgk", resolution=0.1, block_depth=3, ell=0.2, sf2=1.0)
+    m = BGKOctoMap(cfg)
+    rng = np.random.default_rng(0)
+    yz = rng.uniform(-0.4, 0.4, size=(400, 2)).astype(np.float32)
+    wall = np.column_stack([np.full(len(yz), 2.0, np.float32), yz])
+    free = np.column_stack([rng.uniform(0.1, 1.8, 400).astype(np.float32),
+                            rng.uniform(-0.4, 0.4, (400, 2)).astype(np.float32)])
+    pts = np.concatenate([wall, free]).astype(np.float32)
+    labels = np.concatenate([np.ones(len(wall)), np.zeros(len(free))]).astype(np.float32)
+    m.insert_training_data(pts, labels)
+    return m
+
+
+def test_raycast_hits_wall():
+    m = _occupied_wall_map()
+    out = raycast.raycast(m, np.array([[0.0, 0.0, 0.0]]),
+                          np.array([[1.0, 0.0, 0.0]]), max_range=5.0)
+    assert bool(out["hit"][0])
+    assert 1.5 < out["distance"][0] < 2.5
+    assert abs(out["point"][0, 0] - 2.0) < 0.5
+
+
+def test_raycast_miss_and_batch():
+    m = _occupied_wall_map()
+    origins = np.zeros((3, 3))
+    dirs = np.array([[1.0, 0, 0], [-1.0, 0, 0], [0, 0, 1.0]])
+    out = raycast.raycast(m, origins, dirs, max_range=4.0)
+    assert bool(out["hit"][0])
+    assert not bool(out["hit"][1])      # nothing behind the sensor
+    assert out["distance"].shape == (3,)
+
+
+def test_height_map_color_anchors():
+    # primary-color anchors of the HSV ramp (markerarray_pub.h:12-73)
+    rgb = colormap.height_map_color(np.array([0.0, 1.0 / 3.0, 2.0 / 3.0]))
+    np.testing.assert_allclose(rgb[0], [1, 0, 0], atol=1e-12)   # red
+    np.testing.assert_allclose(rgb[1], [0, 1, 0], atol=1e-12)   # green
+    np.testing.assert_allclose(rgb[2], [0, 0, 1], atol=1e-12)   # blue
+    h = np.linspace(-2, 3, 101)
+    c = colormap.height_map_color(h)
+    assert (c >= 0).all() and (c <= 1).all()
+    # h periodic with period 1
+    np.testing.assert_allclose(colormap.height_map_color(h),
+                               colormap.height_map_color(h + 1.0), atol=1e-9)
+
+
+def test_free_colors_gray_below_half():
+    c = colormap.free_colors(np.array([0.1, 0.49, 0.5, 0.9]))
+    np.testing.assert_allclose(c[0], [0.8, 0.8, 0.8])
+    np.testing.assert_allclose(c[1], [0.8, 0.8, 0.8])
+    assert not np.allclose(c[2], [0.8, 0.8, 0.8])
+    # high-confidence free is capped at h=0.6 (markerarray_pub.h:141)
+    np.testing.assert_allclose(c[3], colormap.height_map_color(np.minimum(2 - 2 * 0.9, 0.6)))
+
+
+def test_occupied_colors_degenerate_range():
+    c = colormap.occupied_colors(np.array([1.0, 2.0]), min_z=0.0, max_z=0.0)
+    np.testing.assert_allclose(c, [[0, 0, 1], [0, 0, 1]])
+
+
+def test_marker_groups_by_depth():
+    leaves = {"x": np.array([0.0, 1.0, 2.0]), "y": np.zeros(3), "z": np.zeros(3),
+              "size": np.array([0.1, 0.2, 0.4]), "prob": np.array([0.9, 0.8, 0.7])}
+    g = markers.marker_groups(leaves, resolution=0.1, min_z=0, max_z=1)
+    assert set(g) == {0, 1, 2}
+    assert g[1]["size"] == pytest.approx(0.2)
+    assert g[2]["positions"].shape == (1, 3)
+
+
+def test_export_ply_binary(tmp_path):
+    leaves = {"x": np.array([0.0, 1.0]), "y": np.zeros(2), "z": np.array([0.5, 1.5]),
+              "size": np.full(2, 0.1), "prob": np.array([0.9, 0.8])}
+    path = str(tmp_path / "m.ply")
+    n = markers.export_ply(path, leaves, "occupied", 0.1, 0.0, 2.0)
+    assert n == 2
+    raw = open(path, "rb").read()
+    header, _, body = raw.partition(b"end_header\n")
+    assert b"element vertex 2" in header
+    assert len(body) == 2 * (12 + 3)
+
+
+def test_pcd_roundtrip(tmp_path):
+    pts = np.random.default_rng(1).uniform(-1, 1, (50, 3)).astype(np.float32)
+    path = str(tmp_path / "scan_1.pcd")
+    save_pcd(path, pts, origin=(0.5, -0.25, 1.0))
+    cloud, origin = load_pcd(path)
+    np.testing.assert_allclose(cloud, pts, atol=1e-6)
+    np.testing.assert_allclose(origin, [0.5, -0.25, 1.0], atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["bgk", "bgklv"])
+def test_cli_static_end_to_end(tmp_path, method):
+    """Full launch-file surface: synthetic scans → CLI → PLY/CSV/NPZ exports."""
+    rng = np.random.default_rng(7)
+    for i in (1, 2):
+        yz = rng.uniform(-0.3, 0.3, size=(120, 2)).astype(np.float32)
+        wall = np.column_stack([np.full(len(yz), 1.5, np.float32), yz])
+        save_pcd(str(tmp_path / f"scan_{i}.pcd"), wall, origin=(0, 0, 0))
+    ds_yaml = tmp_path / "tiny.yaml"
+    ds_yaml.write_text(
+        f"name: tiny\ndir: {tmp_path}\nprefix: scan\nscan_num: 2\n"
+        "max_range: 5.0\nmin_z: -0.5\nmax_z: 0.5\n")
+    out = str(tmp_path / "out" / "map")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "la3dm_tpu.cli", "static", "--method", method,
+         "--dataset", str(ds_yaml), "--out", out],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Mapping finished" in r.stdout
+    for suffix in ("_occupied.ply", "_free.ply", "_occupied.csv", "_map.npz"):
+        assert os.path.exists(out + suffix), (suffix, r.stdout)
+
+
+def test_cli_query(tmp_path):
+    """`cli query` returns the posterior at a point from a saved map."""
+    m = _occupied_wall_map()
+    path = str(tmp_path / "map.npz")
+    m.save(path)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "la3dm_tpu.cli", "query", "--checkpoint", path,
+         "--method", "bgk", "2.0,0.0,0.0", "0.5,0.0,0.0"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("prob=") == 2
