@@ -33,10 +33,9 @@ def pad_points(points: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.where(valid[..., None], points, far)
 
 
-@functools.partial(jax.jit, static_argnames=("sf2", "ell", "noise"))
-def gp_train_blocks(points: jax.Array, labels: jax.Array, valid: jax.Array,
-                    sf2: float, ell: float, noise: float) -> tuple[jax.Array, jax.Array]:
-    """Batched GP training (gpregressor.h:42-51).
+def gp_train_core(points: jax.Array, labels: jax.Array, valid: jax.Array,
+                  sf2: float, ell: float, noise: float) -> tuple[jax.Array, jax.Array]:
+    """Batched GP training (gpregressor.h:42-51) — traceable core.
 
     Args:
       points: [B,S,3] block-local training points (padded).
@@ -59,10 +58,13 @@ def gp_train_blocks(points: jax.Array, labels: jax.Array, valid: jax.Array,
     return jax.vmap(per_block)(pts, y)
 
 
-@functools.partial(jax.jit, static_argnames=("sf2", "ell"))
-def gp_predict_blocks(L: jax.Array, alpha: jax.Array, points: jax.Array, valid: jax.Array,
-                      xs: jax.Array, sf2: float, ell: float) -> tuple[jax.Array, jax.Array]:
-    """Batched GP prediction (gpregressor.h:80-92).
+gp_train_blocks = functools.partial(jax.jit, static_argnames=("sf2", "ell", "noise"))(
+    gp_train_core)
+
+
+def gp_predict_core(L: jax.Array, alpha: jax.Array, points: jax.Array, valid: jax.Array,
+                    xs: jax.Array, sf2: float, ell: float) -> tuple[jax.Array, jax.Array]:
+    """Batched GP prediction (gpregressor.h:80-92) — traceable core.
 
     Args:
       L, alpha: training results for B models.
@@ -82,6 +84,10 @@ def gp_predict_blocks(L: jax.Array, alpha: jax.Array, points: jax.Array, valid: 
         return mean, var
 
     return jax.vmap(per_block)(L, alpha, pts, xs)
+
+
+gp_predict_blocks = functools.partial(jax.jit, static_argnames=("sf2", "ell"))(
+    gp_predict_core)
 
 
 def bcm_update_sequential(m_ivar: jax.Array, ivar: jax.Array,

@@ -8,10 +8,13 @@ information-filter update ``ivar += 1/σ² − sf2; m_ivar += μ/σ²`` includin
 the order-dependent persistent ivar chop (gpoctree_node.cpp:36-49).
 Free-space label is −1 (gpoctomap.cpp:399); there is no k̄ gate.
 
-TPU design: models are bucketed into power-of-two point-count tiers and
-solved as batched Cholesky factorizations on the MXU; each model then
-predicts all G neighbor test blocks in one batched triangular solve, and
-results scatter back to (test block, slot) for the sequential BCM scan.
+TPU design: **one dispatch per scan** — padded batched Cholesky over all
+models, prediction of each model's G neighbor test blocks as one batched
+triangular solve, device-side scatter to (test block, slot) and the
+sequential BCM fusion + prune all inside a single jitted step.  The host
+ships only the sorted training points and small index tables; nothing is
+fetched back (the tunnel's per-transfer latency, not FLOPs, dominates
+per-scan cost at this workload size).
 """
 
 from __future__ import annotations
@@ -27,31 +30,72 @@ from la3dm_tpu.kernels import gp as kgp
 from la3dm_tpu.models import base, bucketing, posterior, pruning
 from la3dm_tpu.utils.config import MapConfig
 
-
-@functools.partial(jax.jit, static_argnames=("sf2", "ell", "noise"))
-def _train_predict_tier(points, labels, valid, xs, sf2, ell, noise):
-    """Train a tier of models and predict their neighbor voxels.
-
-    points/labels/valid: [Bc,S,*]; xs: [Bc,M,3] model-local query points.
-    Returns mean, var [Bc,M].
-    """
-    L, alpha = kgp.gp_train_blocks(points, labels, valid, sf2, ell, noise)
-    return kgp.gp_predict_blocks(L, alpha, points, valid, xs, sf2, ell)
+# monotone pad sizes shared across map instances with the same config
+_GLOBAL_PADS: dict = {}
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sf2", "min_known_ivar", "max_ivar", "n", "max_level",
-                     "state_fn", "do_prune"),
+    static_argnames=("S", "G", "V", "sf2", "ell", "noise", "min_known_ivar",
+                     "max_ivar", "n", "max_level", "state_fn", "do_prune"),
     donate_argnames=("m_ivar", "ivar", "touched", "eff"),
 )
-def _bcm_apply(m_ivar, ivar, touched, eff, slots, means, variances, present,
-               sf2, min_known_ivar, max_ivar, n, max_level, state_fn, do_prune):
-    """Sequential BCM fusion over slots + scatter into the pool (+ prune)."""
+def _gp_scan_step(m_ivar, ivar, touched, eff, level_tab,
+                  pts_s, lab_s, starts, counts, nb_t, slots, centers,
+                  S: int, G: int, V: int, sf2: float, ell: float, noise: float,
+                  min_known_ivar: float, max_ivar: float,
+                  n: int, max_level: int, state_fn=None, do_prune: bool = False):
+    """One GP scan: gather → batched train → predict → BCM → prune, one dispatch.
+
+    pts_s/lab_s: [N,*] training entries sorted by model block;
+    starts/counts: [M] per-model segments (count 0 ⇒ padding model);
+    nb_t: [M,G] row into ``slots`` of the test block each model serves at
+    slot g (clamped for padding); slots [B] pool slots (== capacity ⇒
+    padding row); centers [B,3] world block centers.
+    """
+    M = starts.shape[0]
+    B = slots.shape[0]
+
+    # ---- per-model training sets (segment gather, same as the BGK path)
+    scol = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = scol < counts[:, None]                               # [M,S]
+    idx = jnp.minimum(starts[:, None] + scol, pts_s.shape[0] - 1)
+    pts = pts_s[idx]                                             # [M,S,3]
+    y = jnp.where(valid, lab_s[idx], 0.0)
+
+    L, alpha = kgp.gp_train_core(pts, y, valid, sf2, ell, noise)
+
+    # ---- query points: eff-level voxel centers of every test block
+    eff_b = eff[jnp.minimum(slots, eff.shape[0] - 1)]            # [B,V]
+    off = jnp.take_along_axis(
+        level_tab[None], eff_b[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]
+    vox = off + centers[:, None, :]                              # [B,V,3]
+
+    safe_nb = jnp.minimum(nb_t, B - 1)
+    xs = vox[safe_nb].reshape(M, G * V, 3)
+    mean, var = kgp.gp_predict_core(L, alpha, pts, valid, xs, sf2, ell)
+    mean = mean.reshape(M, G, V)
+    var = var.reshape(M, G, V)
+
+    # ---- scatter predictions to (test block, slot); each (t,g) has ≤1 model
+    model_ok = counts > 0
+    flat = jnp.where(model_ok[:, None], safe_nb * G + jnp.arange(G)[None, :], B * G)
+    flat = flat.reshape(-1)
+    means_b = jnp.zeros((B * G, V), jnp.float32).at[flat].set(
+        mean.reshape(M * G, V), mode="drop")
+    vars_b = jnp.ones((B * G, V), jnp.float32).at[flat].set(
+        var.reshape(M * G, V), mode="drop")
+    present = jnp.zeros((B * G,), bool).at[flat].set(
+        jnp.broadcast_to(model_ok[:, None], (M, G)).reshape(-1), mode="drop")
+    means_b = jnp.moveaxis(means_b.reshape(B, G, V), 1, -1)      # [B,V,G]
+    vars_b = jnp.moveaxis(vars_b.reshape(B, G, V), 1, -1)
+    present = present.reshape(B, G)
+
+    # ---- sequential BCM fusion (order-dependent ivar chop) + scatter + prune
     cur_mi = m_ivar[jnp.minimum(slots, m_ivar.shape[0] - 1)]
     cur_iv = ivar[jnp.minimum(slots, ivar.shape[0] - 1)]
     new_mi, new_iv = kgp.bcm_update_sequential(
-        cur_mi, cur_iv, means, variances, present[:, None, :].repeat(means.shape[1], 1),
+        cur_mi, cur_iv, means_b, vars_b, present[:, None, :].repeat(V, 1),
         sf2, min_known_ivar, max_ivar)
     any_present = jnp.any(present, axis=-1)[:, None]
     m_ivar = m_ivar.at[slots].set(jnp.where(any_present, new_mi, cur_mi), mode="drop")
@@ -60,8 +104,6 @@ def _bcm_apply(m_ivar, ivar, touched, eff, slots, means, variances, present,
         jnp.broadcast_to(any_present, new_mi.shape), mode="drop")
 
     if do_prune:
-        from la3dm_tpu.models import pruning
-
         safe = jnp.minimum(slots, eff.shape[0] - 1)
         vals = {"m_ivar": m_ivar[safe], "ivar": ivar[safe],
                 "touched": touched[safe].astype(jnp.float32)}
@@ -106,75 +148,59 @@ class GPOctoMap(base.OccupancyMapBase):
         pts_s, lab_s = points[pidx][order], labels.astype(np.float32)[pidx][order]
         model_coords = geo.unpack_key(ukeys)
         M = len(model_coords)
+        if M == 0:
+            return
 
         test_coords = bucketing.test_blocks_for(ukeys, self._neighbor_offsets)
         slots = self.pool.ensure(test_coords)
         B = len(test_coords)
         t_index = {int(k): i for i, k in enumerate(geo.pack_key(test_coords))}
-
-        # world-frame eff voxel centers of every test block
-        vox = self.eff_voxel_centers(slots)  # [B,V,3]
         G, V = self.num_slots, self.V
 
         # model m at coord c serves test block c − off[s] at slot s
-        nb_t = np.empty((M, G), np.int64)
+        nb_t = np.empty((M, G), np.int32)
         for s, off in enumerate(self._neighbor_offsets):
             keys = geo.pack_key(model_coords - off[None, :])
             nb_t[:, s] = [t_index[int(k)] for k in keys]  # always present
 
-        means = np.zeros((B, V, G), np.float32)
-        variances = np.ones((B, V, G), np.float32)
-        present = np.zeros((B, G), bool)
-
         self.stats["kernel_evals"] += int((counts ** 2).sum() + counts.sum() * G * V)
         self.stats["scans"] += 1
-        tier_of = np.power(2, np.ceil(np.log2(np.maximum(counts, 8)))).astype(np.int64)
-        for tier in sorted(set(tier_of.tolist())):
-            sel = np.where(tier_of == tier)[0]
-            if len(sel) == 0:
-                continue
-            Bc = len(sel)
-            P = np.zeros((Bc, tier, 3), np.float32)
-            Y = np.zeros((Bc, tier), np.float32)
-            Vd = np.zeros((Bc, tier), bool)
-            xs = np.zeros((Bc, G * V, 3), np.float32)
-            for i, m in enumerate(sel):
-                c = int(counts[m])
-                P[i, :c] = pts_s[starts[m]:starts[m] + c]
-                Y[i, :c] = lab_s[starts[m]:starts[m] + c]
-                Vd[i, :c] = True
-                for s in range(G):
-                    # model at block c serves test block t = c − off[s] at slot s
-                    xs[i, s * V:(s + 1) * V] = vox[nb_t[m, s]]
-            mean, var = _train_predict_tier(
-                jnp.asarray(P), jnp.asarray(Y), jnp.asarray(Vd), jnp.asarray(xs),
-                cfg.sf2, cfg.ell, cfg.noise)
-            mean = np.asarray(mean).reshape(Bc, G, V)
-            var = np.asarray(var).reshape(Bc, G, V)
-            for i, m in enumerate(sel):
-                for s in range(G):
-                    t = nb_t[m, s]
-                    means[t, :, s] = mean[i, s]
-                    variances[t, :, s] = var[i, s]
-                    present[t, s] = True
 
-        B_pad = base.next_pow2(max(B, 8))
-        slots_pad = np.full(B_pad, self.pool.capacity, np.int32)
-        slots_pad[:B] = slots
+        # monotone pow2 pads: stable executable shapes across scans/instances
+        pad = _GLOBAL_PADS.setdefault((type(self).__name__, self.cfg),
+                                      {"M": 64, "B": 64, "S": 32, "N": 256})
+        pad["M"] = max(pad["M"], base.next_pow2(max(M, 8)))
+        pad["B"] = max(pad["B"], base.next_pow2(max(B, 8)))
+        pad["S"] = max(pad["S"], base.next_pow2(max(int(counts.max()), 8)))
+        pad["N"] = max(pad["N"], base.next_pow2(max(len(pts_s), 256)))
+        M_pad, B_pad, S, N_pad = pad["M"], pad["B"], pad["S"], pad["N"]
 
-        def pad(a, fill=0.0):
-            out = np.full((B_pad,) + a.shape[1:], fill, a.dtype)
-            out[:B] = a
-            return out
+        pts_p = np.zeros((N_pad, 3), np.float32)
+        pts_p[:len(pts_s)] = pts_s
+        lab_p = np.zeros(N_pad, np.float32)
+        lab_p[:len(lab_s)] = lab_s
+        starts_p = np.zeros(M_pad, np.int32)
+        starts_p[:M] = starts
+        counts_p = np.zeros(M_pad, np.int32)  # 0 ⇒ padding model
+        counts_p[:M] = counts
+        nb_p = np.zeros((M_pad, G), np.int32)
+        nb_p[:M] = nb_t
+        slots_p = np.full(B_pad, self.pool.capacity, np.int32)
+        slots_p[:B] = slots
+        centers_p = np.zeros((B_pad, 3), np.float32)
+        centers_p[:B] = self.block_centers(test_coords)
 
         (self.pool.fields["m_ivar"], self.pool.fields["ivar"], self.pool.touched,
-         self.pool.eff_level) = _bcm_apply(
+         self.pool.eff_level) = _gp_scan_step(
             self.pool.fields["m_ivar"], self.pool.fields["ivar"], self.pool.touched,
-            self.pool.eff_level,
-            jnp.asarray(slots_pad), jnp.asarray(pad(means)),
-            jnp.asarray(pad(variances, 1.0)), jnp.asarray(pad(present)),
-            cfg.sf2, self.min_known_ivar, self.max_ivar,
-            self.n, cfg.block_depth - 1, self._state_fn, cfg.block_depth > 1)
+            self.pool.eff_level, self._level_offsets,
+            jnp.asarray(pts_p), jnp.asarray(lab_p),
+            jnp.asarray(starts_p), jnp.asarray(counts_p), jnp.asarray(nb_p),
+            jnp.asarray(slots_p), jnp.asarray(centers_p),
+            S=S, G=G, V=V, sf2=cfg.sf2, ell=cfg.ell, noise=cfg.noise,
+            min_known_ivar=self.min_known_ivar, max_ivar=self.max_ivar,
+            n=self.n, max_level=cfg.block_depth - 1,
+            state_fn=self._state_fn, do_prune=cfg.block_depth > 1)
 
     def _make_state_fn(self):
         cfg = self.cfg
