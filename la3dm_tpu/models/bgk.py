@@ -26,11 +26,28 @@ from la3dm_tpu.kernels import predict as kp
 from la3dm_tpu.models import base, bucketing, posterior
 from la3dm_tpu.utils.config import MapConfig
 
-_CHUNK_B = 32  # blocks per lax.map chunk: bounds the [b,V,S] kernel intermediate
+# neighborhood-size tiers for the tiered path: per-block training totals are
+# extremely skewed (blocks near the sensor collect thousands of free entries,
+# the median block a few dozen), so when totals are large, padding every
+# block to the max wastes >50× the kernel evals
+_TIERS = (128, 512, 2048, 8192, 32768)
+
+# Dispatch policy: per-scan time is dispatch/transfer-latency-bound over the
+# tunneled TPU until padded compute dominates.  Below this padded-eval count
+# a single fused dispatch wins (measured crossover on the v5 chip: the dense
+# kernel sustains ~5G padded evals/s, a dispatch costs ~5 ms); above it,
+# tier the blocks and pay one dispatch per tier.
+_SINGLE_DISPATCH_MAX = 100_000_000
+_DISPATCH_EVALS = 16_000_000  # padded-eval cost equivalent of an extra dispatch
 
 # monotone pad sizes shared across map instances with the same config, so a
 # fresh map starts at the converged shapes (and reuses executables)
 _GLOBAL_PADS: dict = {}
+
+
+def _tier_chunk(S: int) -> int:
+    """lax.map chunk size: bounds the [chunk,V,S] kernel intermediate."""
+    return min(32, max(1, 16384 // S))
 
 
 def _gather_rows(starts, counts, S):
@@ -59,14 +76,14 @@ def _gather_rows(starts, counts, S):
 @functools.partial(
     jax.jit,
     static_argnames=("S", "num_slots", "sf2", "ell", "gate", "n", "max_level",
-                     "segments", "state_fn", "do_prune"),
+                     "segments", "state_fn", "do_prune", "chunk_b"),
     donate_argnames=("A", "Bv", "touched", "eff"),
 )
 def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers,
                      entries, labels, starts, counts,
                      S: int, num_slots: int, sf2: float, ell: float, gate: float,
                      n: int, max_level: int, segments: bool,
-                     state_fn=None, do_prune: bool = False):
+                     state_fn=None, do_prune: bool = False, chunk_b: int = 32):
     """One scan: device gather + prediction + Beta update + prune, one dispatch.
 
     ``slots`` int32 [B] pool slots (== pool.capacity ⇒ padding row, dropped by
@@ -96,10 +113,10 @@ def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers,
         return kp.beta_update(ybar, kbar, gate)
 
     B = slots.shape[0]
-    nchunk = B // _CHUNK_B
+    nchunk = B // chunk_b
 
     def rc(x):
-        return x.reshape(nchunk, _CHUNK_B, *x.shape[1:])
+        return x.reshape(nchunk, chunk_b, *x.shape[1:])
 
     dA, dB, tch = jax.lax.map(chunk_fn, tuple(rc(x) for x in (vox, idx, pslots, pvalid)))
     dA, dB, tch = (x.reshape(B, -1) for x in (dA, dB, tch))
@@ -167,42 +184,85 @@ class BGKOctoMap(base.OccupancyMapBase):
         self.stats["kernel_evals"] += int(t.counts.sum()) * self.V
         self.stats["scans"] += 1
         slots = self.pool.ensure(t.test_coords)
+        centers = self.block_centers(t.test_coords)
+        cfg = self.cfg
+        G = t.starts.shape[1]
+        D = t.entries.shape[1]
+        totals = t.counts.sum(axis=1)
 
-        # monotone pow2 padding: shapes only ever grow, so the jitted step
-        # stabilizes after the first scans (recompiles are expensive,
+        # monotone pow2 padding: shapes only ever grow, so the jitted steps
+        # stabilize after the first scans (recompiles are expensive,
         # especially with remote compilation over the TPU tunnel)
         pad = _GLOBAL_PADS.setdefault((type(self).__name__, self.cfg),
-                                      {"B": _CHUNK_B, "S": 128, "N": 256})
-        pad["B"] = max(pad["B"], base.round_up(base.next_pow2(max(B, _CHUNK_B)), _CHUNK_B))
-        pad["S"] = max(pad["S"], base.next_pow2(max(t.max_total, 128)))
+                                      {"N": 256, "B": 32, "S": 128, "tiers": {}})
         pad["N"] = max(pad["N"], base.next_pow2(max(len(t.entries), 256)))
-        B_pad, S, N_pad = pad["B"], pad["S"], pad["N"]
-        D = t.entries.shape[1]
+        N_pad = pad["N"]
 
         entries = np.zeros((N_pad, D), np.float32)
         entries[:len(t.entries)] = t.entries
         labels = np.zeros(N_pad, np.float32)
         labels[:len(t.labels)] = t.labels
-        starts = np.zeros((B_pad, t.starts.shape[1]), np.int32)
-        starts[:B] = t.starts
-        counts = np.zeros((B_pad, t.counts.shape[1]), np.int32)
-        counts[:B] = t.counts
-        slots_pad = np.full(B_pad, self.pool.capacity, np.int32)
-        slots_pad[:B] = slots
-        centers = np.zeros((B_pad, 3), np.float32)
-        centers[:B] = self.block_centers(t.test_coords)
+        entries_dev = jnp.asarray(entries)   # shipped once, shared by tiers
+        labels_dev = jnp.asarray(labels)
 
-        cfg = self.cfg
-        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-         self.pool.eff_level) = _bgk_update_step(
-            self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-            self.pool.eff_level, self._level_offsets,
-            jnp.asarray(slots_pad), jnp.asarray(centers),
-            jnp.asarray(entries), jnp.asarray(labels),
-            jnp.asarray(starts), jnp.asarray(counts),
-            S=S, num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell, gate=self.GATE,
-            n=self.n, max_level=cfg.block_depth - 1, segments=self.SEGMENTS,
-            state_fn=self._state_fn, do_prune=cfg.block_depth > 1)
+        # dispatch policy: single fused dispatch while padded compute is
+        # small; tier by neighborhood size once padding would explode
+        S1 = max(pad["S"], base.next_pow2(max(t.max_total, 128)))
+        B1 = max(pad["B"], base.round_up(base.next_pow2(max(B, 32)), _tier_chunk(S1)))
+        if B1 * S1 * self.V <= _SINGLE_DISPATCH_MAX:
+            pad["S"], pad["B"] = S1, B1
+            parts = [(S1, B1, np.arange(B))]
+        else:
+            mx = int(totals.max())
+            cap = next((s for s in _TIERS if s >= mx), base.next_pow2(mx))
+            ladder = [s for s in _TIERS if s < cap] + [cap]
+            raw = []
+            prev = 0
+            for S in ladder:
+                sel = np.nonzero((totals > prev) & (totals <= S))[0]
+                prev = S
+                if len(sel):
+                    raw.append((S, sel))
+            # greedy merge: absorb a tier into the next whenever the padded
+            # evals saved don't pay for an extra dispatch
+            merged = [raw[0]]
+            for S, sel in raw[1:]:
+                S0, sel0 = merged[-1]
+                split = (len(sel0) * S0 + len(sel) * S) * self.V + _DISPATCH_EVALS
+                joint = (len(sel0) + len(sel)) * S * self.V
+                if joint <= split:
+                    merged[-1] = (S, np.concatenate([sel0, sel]))
+                else:
+                    merged.append((S, sel))
+            parts = []
+            for S, sel in merged:
+                chunk = _tier_chunk(S)
+                tp = pad["tiers"].setdefault(S, {"B": chunk})
+                tp["B"] = max(tp["B"],
+                              base.round_up(base.next_pow2(max(len(sel), chunk)), chunk))
+                parts.append((S, tp["B"], sel))
+
+        for S, B_pad, sel in parts:
+            starts = np.zeros((B_pad, G), np.int32)
+            starts[:len(sel)] = t.starts[sel]
+            counts = np.zeros((B_pad, G), np.int32)
+            counts[:len(sel)] = t.counts[sel]
+            slots_pad = np.full(B_pad, self.pool.capacity, np.int32)
+            slots_pad[:len(sel)] = slots[sel]
+            ctrs = np.zeros((B_pad, 3), np.float32)
+            ctrs[:len(sel)] = centers[sel]
+
+            (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+             self.pool.eff_level) = _bgk_update_step(
+                self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+                self.pool.eff_level, self._level_offsets,
+                jnp.asarray(slots_pad), jnp.asarray(ctrs),
+                entries_dev, labels_dev,
+                jnp.asarray(starts), jnp.asarray(counts),
+                S=S, num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell,
+                gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
+                segments=self.SEGMENTS, state_fn=self._state_fn,
+                do_prune=cfg.block_depth > 1, chunk_b=_tier_chunk(S))
 
     def _make_state_fn(self):
         cfg = self.cfg
