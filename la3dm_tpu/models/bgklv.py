@@ -253,7 +253,17 @@ class BGKLVOctoMap(base.OccupancyMapBase):
 
         ht_keys = geo.pack_key(ht_coords)
         st_keys = geo.pack_key(st_coords)
-        ray_pairs = np.unique(np.stack([st_keys, td.sample_ray[st_idx]], 1), axis=0)
+        # dedup (tile, ray) pairs via lexsort — np.unique(axis=0)'s void-dtype
+        # sort costs ~9× more on these ~100k-row tables
+        st_rays = td.sample_ray[st_idx]
+        order = np.lexsort((st_rays, st_keys))
+        sk, sr = st_keys[order], st_rays[order]
+        keep = np.empty(len(sk), bool)
+        if len(sk):
+            keep[0] = True
+            keep[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+        ray_pairs = np.stack([sk[keep], sr[keep]], 1) if len(sk) \
+            else np.zeros((0, 2), np.int64)
 
         active_keys = np.unique(np.concatenate([ht_keys, ray_pairs[:, 0]]))
         T = len(active_keys)
@@ -286,9 +296,11 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         slots = self.pool.lookup(blk_coords)
         # only blocks in THIS scan's candidate sweep are updated (the reference
         # iterates the sweep's blocks); halo spill outside it is dropped too
-        cand_set = set(geo.pack_key(cand).tolist())
-        in_sweep = np.fromiter((int(k) in cand_set for k in geo.pack_key(blk_coords)),
-                               bool, count=len(blk_coords))
+        cand_keys = np.sort(geo.pack_key(cand))
+        bk = geo.pack_key(blk_coords)
+        pos = np.searchsorted(cand_keys, bk)
+        pos = np.clip(pos, 0, max(len(cand_keys) - 1, 0))
+        in_sweep = cand_keys[pos] == bk if len(cand_keys) else np.zeros(len(bk), bool)
         keep = (slots >= 0) & in_sweep
         blk_coords, pos_id, slots = blk_coords[keep], pos_id[keep], slots[keep]
         h_start, h_count = h_start[keep], h_count[keep]
