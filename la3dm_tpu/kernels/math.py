@@ -21,9 +21,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-TWO_PI = jnp.float32(2.0 * 3.1415926)  # reference uses 3.1415926f
-SQRT3 = jnp.float32(1.73205)
-SEG_EPSILON = jnp.float32(1e-4)
+# numpy f32 scalars (not jnp arrays): identical arithmetic under jit, but
+# capturable as compile-time constants inside Pallas kernels
+import numpy as _np
+
+TWO_PI = _np.float32(2.0 * 3.1415926)  # reference uses 3.1415926f
+SQRT3 = _np.float32(1.73205)
+SEG_EPSILON = _np.float32(1e-4)
 
 
 def pairwise_dist(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -46,20 +50,20 @@ def pairwise_dist(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def sparse_kernel(r: jax.Array, sf2: float) -> jax.Array:
     """Sparse kernel on normalised distance r = d/ℓ, negatives clamped to 0."""
-    k = ((2.0 + jnp.cos(TWO_PI * r)) * (1.0 - r) / 3.0 + jnp.sin(TWO_PI * r) / TWO_PI) * jnp.float32(sf2)
+    k = ((2.0 + jnp.cos(TWO_PI * r)) * (1.0 - r) / 3.0 + jnp.sin(TWO_PI * r) / TWO_PI) * _np.float32(sf2)
     return jnp.maximum(k, 0.0)
 
 
 def sparse_kernel_lv(r: jax.Array, sf2: float) -> jax.Array:
     """LV sparse kernel: r clamped to ≤ 1 before the kernel, no output clamp."""
     r = jnp.minimum(r, 1.0)
-    return ((2.0 + jnp.cos(TWO_PI * r)) * (1.0 - r) / 3.0 + jnp.sin(TWO_PI * r) / TWO_PI) * jnp.float32(sf2)
+    return ((2.0 + jnp.cos(TWO_PI * r)) * (1.0 - r) / 3.0 + jnp.sin(TWO_PI * r) / TWO_PI) * _np.float32(sf2)
 
 
 def matern32(d: jax.Array, sf2: float, ell: float) -> jax.Array:
     """Matérn-3/2 on raw distance d (the √3/ℓ scaling applied internally)."""
-    s = SQRT3 / jnp.float32(ell) * d
-    return (1.0 + s) * jnp.exp(-s) * jnp.float32(sf2)
+    s = SQRT3 / _np.float32(ell) * d
+    return (1.0 + s) * jnp.exp(-s) * _np.float32(sf2)
 
 
 def cov_sparse(x: jax.Array, z: jax.Array, sf2: float, ell: float) -> jax.Array:
@@ -68,16 +72,16 @@ def cov_sparse(x: jax.Array, z: jax.Array, sf2: float, ell: float) -> jax.Array:
     Division (not reciprocal multiply) — the k̄>0 update gate is sensitive to
     the last ulp at the kernel's support boundary.
     """
-    e = jnp.float32(ell)
+    e = _np.float32(ell)
     return sparse_kernel(pairwise_dist(x / e, z / e), sf2)
 
 
 def cov_matern32(x: jax.Array, z: jax.Array, sf2: float, ell: float) -> jax.Array:
     """covMaterniso3 (gpregressor.h:114-117); scale computed in double as the
     reference's ``1.73205 / ell`` promotes to double before the f32 matmul."""
-    s = jnp.float32(1.73205 / float(ell))
+    s = _np.float32(1.73205 / float(ell))
     d = pairwise_dist(x * s, z * s)
-    return (1.0 + d) * jnp.exp(-d) * jnp.float32(sf2)
+    return (1.0 + d) * jnp.exp(-d) * _np.float32(sf2)
 
 
 def point_to_segment_dist(p: jax.Array, seg: jax.Array) -> jax.Array:
@@ -117,5 +121,5 @@ def cov_sparse_segment(p: jax.Array, seg: jax.Array, sf2: float, ell: float,
     ``lv=False`` → BGKL semantics (clamp negative outputs, bgklinference.h:183-197);
     ``lv=True``  → LV semantics (clamp r ≤ 1 first, bgklvinference.h:143-157).
     """
-    r = point_to_segment_dist(p, seg) / jnp.float32(ell)
+    r = point_to_segment_dist(p, seg) / _np.float32(ell)
     return sparse_kernel_lv(r, sf2) if lv else sparse_kernel(r, sf2)

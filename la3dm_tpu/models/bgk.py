@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from la3dm_tpu.geometry import blocks as geo, preprocess
 from la3dm_tpu.kernels import math as km
+from la3dm_tpu.kernels import pallas_ops
 from la3dm_tpu.kernels import predict as kp
 from la3dm_tpu.models import base, bucketing, posterior
 from la3dm_tpu.utils.config import MapConfig
@@ -76,14 +77,15 @@ def _gather_rows(starts, counts, S):
 @functools.partial(
     jax.jit,
     static_argnames=("S", "num_slots", "sf2", "ell", "gate", "n", "max_level",
-                     "segments", "state_fn", "do_prune", "chunk_b"),
+                     "segments", "state_fn", "do_prune", "chunk_b", "pallas"),
     donate_argnames=("A", "Bv", "touched", "eff"),
 )
 def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers,
                      entries, labels, starts, counts,
                      S: int, num_slots: int, sf2: float, ell: float, gate: float,
                      n: int, max_level: int, segments: bool,
-                     state_fn=None, do_prune: bool = False, chunk_b: int = 32):
+                     state_fn=None, do_prune: bool = False, chunk_b: int = 32,
+                     pallas: bool = False):
     """One scan: device gather + prediction + Beta update + prune, one dispatch.
 
     ``slots`` int32 [B] pool slots (== pool.capacity ⇒ padding row, dropped by
@@ -96,30 +98,40 @@ def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers,
         level_tab[None], eff_b[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]
     vox = off + centers[:, None, :]                            # [B,V,3]
 
-    def chunk_fn(args):
-        vx, ix, sl, va = args
-        en = entries[ix]                                       # [b,S,D]
-        lb = labels[ix]
-        def one(v, e, l, s, m):
-            if segments:
-                K = km.cov_sparse_segment(v, e, sf2, ell, lv=False)
-            else:
-                K = km.cov_sparse(v, e, sf2, ell)
-            K = jnp.where(m[None, :], K, 0.0)
-            rhs = kp._slot_rhs(l, s, m, num_slots)
-            out = jnp.dot(K, rhs, preferred_element_type=jnp.float32)
-            return out[:, :num_slots], out[:, num_slots:]
-        ybar, kbar = jax.vmap(one)(vx, en, lb, sl, va)
-        return kp.beta_update(ybar, kbar, gate)
-
     B = slots.shape[0]
-    nchunk = B // chunk_b
+    if pallas:
+        from la3dm_tpu.kernels import pallas_ops
 
-    def rc(x):
-        return x.reshape(nchunk, chunk_b, *x.shape[1:])
+        en = entries[idx]                                      # [B,S,D]
+        lb = labels[idx]
+        ybar, kbar = pallas_ops.bgk_predict_pallas(
+            vox, en, lb, pslots, pvalid, num_slots, sf2, ell, segments=segments)
+        dA, dB, tch = kp.beta_update(ybar, kbar, gate)
+    else:
+        def chunk_fn(args):
+            vx, ix, sl, va = args
+            en = entries[ix]                                   # [b,S,D]
+            lb = labels[ix]
+            def one(v, e, l, s, m):
+                if segments:
+                    K = km.cov_sparse_segment(v, e, sf2, ell, lv=False)
+                else:
+                    K = km.cov_sparse(v, e, sf2, ell)
+                K = jnp.where(m[None, :], K, 0.0)
+                rhs = kp._slot_rhs(l, s, m, num_slots)
+                out = jnp.dot(K, rhs, preferred_element_type=jnp.float32)
+                return out[:, :num_slots], out[:, num_slots:]
+            ybar, kbar = jax.vmap(one)(vx, en, lb, sl, va)
+            return kp.beta_update(ybar, kbar, gate)
 
-    dA, dB, tch = jax.lax.map(chunk_fn, tuple(rc(x) for x in (vox, idx, pslots, pvalid)))
-    dA, dB, tch = (x.reshape(B, -1) for x in (dA, dB, tch))
+        nchunk = B // chunk_b
+
+        def rc(x):
+            return x.reshape(nchunk, chunk_b, *x.shape[1:])
+
+        dA, dB, tch = jax.lax.map(
+            chunk_fn, tuple(rc(x) for x in (vox, idx, pslots, pvalid)))
+        dA, dB, tch = (x.reshape(B, -1) for x in (dA, dB, tch))
 
     A = A.at[slots].add(dA, mode="drop")
     Bv = Bv.at[slots].add(dB, mode="drop")
@@ -264,7 +276,8 @@ class BGKOctoMap(base.OccupancyMapBase):
                 S=S, num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell,
                 gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
                 segments=self.SEGMENTS, state_fn=self._state_fn,
-                do_prune=cfg.block_depth > 1, chunk_b=_tier_chunk(S))
+                do_prune=cfg.block_depth > 1, chunk_b=_tier_chunk(S),
+                pallas=pallas_ops.use_pallas(self.SEGMENTS))
 
     def _make_state_fn(self):
         cfg = self.cfg
