@@ -45,6 +45,15 @@ def _load():
             f32p, ip, f32p, ip, f32p, i32p, ip,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.lv_tile_tables.restype = ctypes.c_int
+        lib.lv_tile_tables.argtypes = [
+            f32p, ctypes.c_int, f32p, i32p, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i64p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ip, ip, ip,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -90,3 +99,46 @@ def lv_training_data(cloud: np.ndarray, origin: np.ndarray, ds: float, fr: float
         hits=hits[:nh.value].copy(), rays=rays[:nr.value].copy(),
         samples=samples[:ns.value].copy(),
         sample_ray=sample_ray[:ns.value].astype(np.int64))
+
+
+def lv_tile_tables(hits: np.ndarray, samples: np.ndarray, sample_ray: np.ndarray,
+                   ts: float, halo: float, shift: float):
+    """Per-tile hit/ray segment tables (see host_preprocess.cpp).
+
+    Returns (tile_keys [Ta], h_start, h_count, r_start, r_count,
+    hits_flat, rays_flat) or None when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    hits = np.ascontiguousarray(hits, np.float32)
+    samples = np.ascontiguousarray(samples, np.float32)
+    sample_ray = np.ascontiguousarray(sample_ray, np.int32)
+    H, S = len(hits), len(samples)
+    max_t = 32 * max(H + S, 8)
+    max_hf = 32 * max(H, 8)
+    max_rf = 32 * max(S, 8)
+    while True:
+        keys = np.empty(max_t, np.int64)
+        hs = np.empty(max_t, np.int32)
+        hc = np.empty(max_t, np.int32)
+        rs = np.empty(max_t, np.int32)
+        rc_ = np.empty(max_t, np.int32)
+        hf = np.empty(max_hf, np.int32)
+        rf = np.empty(max_rf, np.int32)
+        nt, nhf, nrf = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        rc = lib.lv_tile_tables(
+            hits.reshape(-1), H, samples.reshape(-1), sample_ray, S,
+            float(ts), float(halo), float(shift),
+            keys, hs, hc, rs, rc_, hf, rf,
+            max_t, max_hf, max_rf,
+            ctypes.byref(nt), ctypes.byref(nhf), ctypes.byref(nrf))
+        if rc == 0:
+            break
+        max_t *= 2
+        max_hf *= 2
+        max_rf *= 2
+    Ta = nt.value
+    return (keys[:Ta].copy(), hs[:Ta].copy(), hc[:Ta].copy(),
+            rs[:Ta].copy(), rc_[:Ta].copy(),
+            hf[:nhf.value].copy(), rf[:nrf.value].copy())

@@ -248,44 +248,55 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         ts = bs / self.tiles_per_axis
         halo = cfg.ell  # voxel cubes reach ≤ ts − res/2 + ell from tile corners
         shift = np.float64(bs) / 2.0
-        ht_coords, ht_idx = _halo_blocks(td.hits.astype(np.float64) + shift, ts, halo)
-        st_coords, st_idx = _halo_blocks(td.samples.astype(np.float64) + shift, ts, halo)
+        from la3dm_tpu.geometry import native
 
-        ht_keys = geo.pack_key(ht_coords)
-        st_keys = geo.pack_key(st_coords)
-        # dedup (tile, ray) pairs via lexsort — np.unique(axis=0)'s void-dtype
-        # sort costs ~9× more on these ~100k-row tables
-        st_rays = td.sample_ray[st_idx]
-        order = np.lexsort((st_rays, st_keys))
-        sk, sr = st_keys[order], st_rays[order]
-        keep = np.empty(len(sk), bool)
-        if len(sk):
-            keep[0] = True
-            keep[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
-        ray_pairs = np.stack([sk[keep], sr[keep]], 1) if len(sk) \
-            else np.zeros((0, 2), np.int64)
+        tables = native.lv_tile_tables(td.hits, td.samples, td.sample_ray,
+                                       ts, halo, float(shift))
+        if tables is not None:
+            (active_keys, h_start, h_count, r_start, r_count,
+             hits_sorted, rays_sorted) = tables
+            T = len(active_keys)
+            if T == 0:
+                return
+        else:  # numpy fallback (no native toolchain)
+            ht_coords, ht_idx = _halo_blocks(td.hits.astype(np.float64) + shift, ts, halo)
+            st_coords, st_idx = _halo_blocks(td.samples.astype(np.float64) + shift, ts, halo)
 
-        active_keys = np.unique(np.concatenate([ht_keys, ray_pairs[:, 0]]))
-        T = len(active_keys)
-        if T == 0:
-            return
+            ht_keys = geo.pack_key(ht_coords)
+            st_keys = geo.pack_key(st_coords)
+            # dedup (tile, ray) pairs via lexsort — np.unique(axis=0)'s
+            # void-dtype sort costs ~9× more on these ~100k-row tables
+            st_rays = td.sample_ray[st_idx]
+            order = np.lexsort((st_rays, st_keys))
+            sk, sr = st_keys[order], st_rays[order]
+            keep = np.empty(len(sk), bool)
+            if len(sk):
+                keep[0] = True
+                keep[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+            ray_pairs = np.stack([sk[keep], sr[keep]], 1) if len(sk) \
+                else np.zeros((0, 2), np.int64)
 
-        def segments(keys, payload):
-            """Sorted payload + per-active-tile (start,count)."""
-            order = np.argsort(keys, kind="stable")
-            ks, ps = keys[order], payload[order]
-            uk, st, ct = np.unique(ks, return_index=True, return_counts=True)
-            if len(uk) == 0:  # e.g. no hits at all when max_range ≤ 0 (ref :323-334)
-                z = np.zeros(T, np.int64)
-                return ps, z, z
-            pos = np.searchsorted(uk, active_keys)
-            pos = np.clip(pos, 0, max(len(uk) - 1, 0))
-            hit = (uk[pos] == active_keys) if len(uk) else np.zeros(T, bool)
-            return ps, np.where(hit, st[pos], 0), np.where(hit, ct[pos], 0)
+            active_keys = np.unique(np.concatenate([ht_keys, ray_pairs[:, 0]]))
+            T = len(active_keys)
+            if T == 0:
+                return
 
-        hits_sorted, h_start, h_count = segments(ht_keys, ht_idx.astype(np.int32))
-        rays_sorted, r_start, r_count = segments(ray_pairs[:, 0],
-                                                 ray_pairs[:, 1].astype(np.int32))
+            def segments(keys, payload):
+                """Sorted payload + per-active-tile (start,count)."""
+                order = np.argsort(keys, kind="stable")
+                ks, ps = keys[order], payload[order]
+                uk, st, ct = np.unique(ks, return_index=True, return_counts=True)
+                if len(uk) == 0:  # e.g. no hits when max_range ≤ 0 (ref :323-334)
+                    z = np.zeros(T, np.int64)
+                    return ps, z, z
+                pos = np.searchsorted(uk, active_keys)
+                pos = np.clip(pos, 0, max(len(uk) - 1, 0))
+                hit = (uk[pos] == active_keys) if len(uk) else np.zeros(T, bool)
+                return ps, np.where(hit, st[pos], 0), np.where(hit, ct[pos], 0)
+
+            hits_sorted, h_start, h_count = segments(ht_keys, ht_idx.astype(np.int32))
+            rays_sorted, r_start, r_count = segments(ray_pairs[:, 0],
+                                                     ray_pairs[:, 1].astype(np.int32))
 
         tile_coords = geo.unpack_key(active_keys)               # [T,3]
         tpa = self.tiles_per_axis

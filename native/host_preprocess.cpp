@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -181,6 +182,82 @@ int lv_training_data(const float* cloud, int n_cloud, const float* origin3,
   *n_hits_out = nh;
   *n_rays_out = nr;
   *n_samples_out = ns;
+  return 0;
+}
+
+// LV tile tables: halo-expanded tile memberships of hits and ray samples,
+// grouped per tile.  Replaces the numpy _halo_blocks + lexsort-dedup +
+// per-tile segment build (la3dm_tpu/models/bgklv.py) — the host-side cost
+// driver of LV scan integration.
+//
+// Tile coord of point p: floor((p + shift ± halo)/ts) per axis, all in
+// double (matches the python grid exactly).  Keys pack like the reference
+// BlockHashKey (bgkblock.cpp:73-77): (c+524288) 20 bits per axis.
+//
+// Outputs, for the union of hit/ray tiles (sorted by key):
+//   tile_keys [Ta]; h_start/h_count and r_start/r_count [Ta] segments into
+//   hits_flat (hit indices) and rays_flat (deduplicated ray ids).
+int lv_tile_tables(const float* hits, int H,
+                   const float* samples, const int32_t* sample_ray, int S,
+                   double ts, double halo, double shift,
+                   int64_t* tile_keys, int32_t* h_start, int32_t* h_count,
+                   int32_t* r_start, int32_t* r_count,
+                   int32_t* hits_flat, int32_t* rays_flat,
+                   int max_tiles, int max_hits_flat, int max_rays_flat,
+                   int* n_tiles, int* n_hits_flat, int* n_rays_flat) {
+  auto key_of = [](int64_t x, int64_t y, int64_t z) {
+    return ((x + 524288) << 40) | ((y + 524288) << 20) | (z + 524288);
+  };
+  auto cells_of = [&](const float* p, std::vector<std::pair<int64_t, int32_t>>* out,
+                      int32_t payload) {
+    int64_t lo[3], hi[3];
+    for (int ax = 0; ax < 3; ++ax) {
+      const double v = (double)p[ax] + shift;
+      lo[ax] = (int64_t)std::floor((v - halo) / ts);
+      hi[ax] = (int64_t)std::floor((v + halo) / ts);
+    }
+    for (int64_t x = lo[0]; x <= hi[0]; ++x)
+      for (int64_t y = lo[1]; y <= hi[1]; ++y)
+        for (int64_t z = lo[2]; z <= hi[2]; ++z)
+          out->emplace_back(key_of(x, y, z), payload);
+  };
+
+  std::vector<std::pair<int64_t, int32_t>> hp, rp;
+  hp.reserve((size_t)H * 2);
+  rp.reserve((size_t)S * 2);
+  for (int i = 0; i < H; ++i) cells_of(hits + 3 * i, &hp, i);
+  for (int i = 0; i < S; ++i) cells_of(samples + 3 * i, &rp, sample_ray[i]);
+  std::sort(hp.begin(), hp.end());
+  std::sort(rp.begin(), rp.end());
+  rp.erase(std::unique(rp.begin(), rp.end()), rp.end());  // (tile, ray) dedup
+
+  // merge the two sorted key streams into the active-tile table
+  size_t ih = 0, ir = 0;
+  int ta = 0, nh = 0, nr = 0;
+  while (ih < hp.size() || ir < rp.size()) {
+    int64_t k;
+    if (ih >= hp.size()) k = rp[ir].first;
+    else if (ir >= rp.size()) k = hp[ih].first;
+    else k = std::min(hp[ih].first, rp[ir].first);
+    if (ta >= max_tiles) return -1;
+    tile_keys[ta] = k;
+    h_start[ta] = nh;
+    while (ih < hp.size() && hp[ih].first == k) {
+      if (nh >= max_hits_flat) return -1;
+      hits_flat[nh++] = hp[ih++].second;
+    }
+    h_count[ta] = nh - h_start[ta];
+    r_start[ta] = nr;
+    while (ir < rp.size() && rp[ir].first == k) {
+      if (nr >= max_rays_flat) return -1;
+      rays_flat[nr++] = rp[ir++].second;
+    }
+    r_count[ta] = nr - r_start[ta];
+    ++ta;
+  }
+  *n_tiles = ta;
+  *n_hits_flat = nh;
+  *n_rays_flat = nr;
   return 0;
 }
 

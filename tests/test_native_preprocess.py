@@ -31,3 +31,45 @@ def test_lv_training_data_matches_numpy(rng):
     c_counts = np.bincount(td_c.sample_ray, minlength=len(td_c.rays))
     n_counts = np.bincount(td_np.sample_ray, minlength=len(td_np.rays))
     assert abs(int(c_counts.sum()) - int(n_counts.sum())) <= len(td_c.rays)
+
+
+def test_native_tile_tables_match_numpy(rng):
+    """lv_tile_tables (C++) vs the numpy halo/dedup/segments path."""
+    import numpy as np
+    from la3dm_tpu.geometry import native, blocks as geo
+    from la3dm_tpu.models.bgklv import _halo_blocks
+
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    hits = rng.uniform(-3, 3, (200, 3)).astype(np.float32)
+    rays = rng.uniform(-3, 3, (60, 6)).astype(np.float32)
+    samples = rng.uniform(-3, 3, (1500, 3)).astype(np.float32)
+    sample_ray = rng.integers(0, 60, 1500).astype(np.int64)
+    ts, halo, shift = 0.8, 0.2, 0.4
+
+    keys, hs, hc, rs, rc, hf, rf = native.lv_tile_tables(
+        hits, samples, sample_ray, ts, halo, shift)
+
+    ht_coords, ht_idx = _halo_blocks(hits.astype(np.float64) + shift, ts, halo)
+    st_coords, st_idx = _halo_blocks(samples.astype(np.float64) + shift, ts, halo)
+    ht_keys = geo.pack_key(ht_coords)
+    st_keys = geo.pack_key(st_coords)
+    st_rays = sample_ray[st_idx]
+    order = np.lexsort((st_rays, st_keys))
+    sk, sr = st_keys[order], st_rays[order]
+    keep = np.empty(len(sk), bool)
+    keep[0] = True
+    keep[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+    active = np.unique(np.concatenate([ht_keys, sk[keep]]))
+
+    np.testing.assert_array_equal(keys, active)
+    # per-tile hit sets and deduped ray sets agree
+    for t in range(len(keys)):
+        np.testing.assert_array_equal(
+            np.sort(hf[hs[t]:hs[t] + hc[t]]),
+            np.sort(ht_idx[ht_keys == keys[t]]), err_msg=f"tile {t} hits")
+        np.testing.assert_array_equal(
+            np.sort(rf[rs[t]:rs[t] + rc[t]]),
+            np.unique(sr[keep][sk[keep] == keys[t]]), err_msg=f"tile {t} rays")
