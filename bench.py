@@ -33,21 +33,21 @@ def _build(exe, src):
                        check=True)
 
 
-def cpp_baseline(method: str, dataset: str) -> dict:
+def cpp_baseline(method: str, dataset: str, scan_num: int = 12) -> dict:
     native = os.path.join(REPO, "native")
     data = f"/root/reference/data/{dataset}"
     if method == "bgk":
         exe = os.path.join(native, "baseline_bgk")
         _build(exe, exe + ".cpp")
-        cmd = [exe, data, dataset, "12", "--json"]
+        cmd = [exe, data, dataset, str(scan_num), "--json"]
     elif method == "gp":
         exe = os.path.join(native, "baseline_gp")
         _build(exe, exe + ".cpp")
-        cmd = [exe, data, dataset, "12", "--json"]
+        cmd = [exe, data, dataset, str(scan_num), "--json"]
     else:
         exe = os.path.join(native, "baseline_lv")
         _build(exe, exe + ".cpp")
-        cmd = [exe, method, data, dataset, "12", "--json"]
+        cmd = [exe, method, data, dataset, str(scan_num), "--json"]
     best = None
     for _ in range(2):
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -57,9 +57,13 @@ def cpp_baseline(method: str, dataset: str) -> dict:
     return best
 
 
+# (method, dataset) per BASELINE.md acceptance configs; the long_term entry
+# is the long-horizon workload (15 scans per the reference dataset config)
 CONFIGS = [("bgk", "sim_structured"), ("bgkl", "sim_structured"),
-           ("bgklv", "sim_structured"), ("gp", "sim_unstructured")]
+           ("bgklv", "sim_structured"), ("gp", "sim_unstructured"),
+           ("bgklv", "sim_structured_long_term")]
 FALLBACK = {"bgk": 71.1, "bgkl": 5.3, "bgklv": 0.81, "gp": 13.4}
+SCAN_NUM = {"sim_structured_long_term": 15}
 
 
 def run_one(method: str, dataset: str) -> dict:
@@ -98,6 +102,8 @@ def main() -> int:
     results = {}
     platform = "unknown"
     for method, dataset in CONFIGS:
+        rkey = method if dataset in ("sim_structured", "sim_unstructured") \
+            else f"{method}_{dataset}"
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--method", method, dataset],
@@ -107,13 +113,14 @@ def main() -> int:
             print(f"method {method} failed: {e}", file=sys.stderr)
             continue
         try:
-            base_sps = cpp_baseline(method, dataset)["scans_per_s"]
+            base_sps = cpp_baseline(method, dataset,
+                                    SCAN_NUM.get(dataset, 12))["scans_per_s"]
         except Exception as e:
             print(f"baseline {method} failed: {e}", file=sys.stderr)
             base_sps = FALLBACK[method]
         r["vs_baseline"] = round(r["scans_per_s"] / base_sps, 3)
         r["baseline_scans_per_s"] = round(base_sps, 3)
-        results[method] = r
+        results[rkey] = r
 
     try:
         import jax
