@@ -99,13 +99,15 @@ int lv_training_data(const float* cloud, int n_cloud, const float* origin3,
 
   int nh = 0, nr = 0, ns = 0;
 
-  // precompute per-hit range (double)
-  std::vector<double> r0(H);
+  // precompute per-hit sensor-relative deltas and range (double)
+  std::vector<double> r0(H), dxo(H), dyo(H), dzo(H);
   for (int j = 0; j < H; ++j) {
     const double dx = (double)hits[j].x - ox, dy = (double)hits[j].y - oy,
                  dz = (double)hits[j].z - oz;
+    dxo[j] = dx; dyo[j] = dy; dzo[j] = dz;
     r0[j] = std::sqrt(dx * dx + dy * dy + dz * dz);
   }
+  const double infsq = influence * influence;
 
   for (int i = 0; i < H; ++i) {
     const V3 p = hits[i];
@@ -129,23 +131,25 @@ int lv_training_data(const float* cloud, int n_cloud, const float* origin3,
     const float lvx = endp.x - ox, lvy = endp.y - oy, lvz = endp.z - oz;
     const double lvsq = (double)lvx * lvx + (double)lvy * lvy + (double)lvz * lvz;
     const double lvn = std::sqrt(lvsq);
-    // nearby filter + sequential shrinking, in hit order (:339-386)
+    // nearby filter + sequential shrinking, in hit order (:339-386).
+    // All comparisons on squared distances (sqrt is monotone) — the sqrt
+    // pair per (ray, hit) dominated preprocessing cost at O(hits²).
+    const bool high_ray = p.z > offset + oz;
+    const double zcut = oz + influence;
     for (int j = 0; j < H; ++j) {
-      const V3 q = hits[j];
       if (max_range > 0 && r0[j] > max_range) continue;
-      if (p.z > offset + oz && q.z < oz + influence) continue;
-      const double e1 = (double)endp.x - q.x, e2 = (double)endp.y - q.y,
-                   e3 = (double)endp.z - q.z;
-      const double d1 = std::sqrt(e1 * e1 + e2 * e2 + e3 * e3);
-      if (!(d1 < influence || (d1 < l && r0[j] < l))) continue;
-      const double b = ((double)q.x - ox) * lvx + ((double)q.y - oy) * lvy +
-                       ((double)q.z - oz) * lvz;
+      if (high_ray && (double)hits[j].z < zcut) continue;
+      const double e1 = (double)endp.x - hits[j].x, e2 = (double)endp.y - hits[j].y,
+                   e3 = (double)endp.z - hits[j].z;
+      const double d1sq = e1 * e1 + e2 * e2 + e3 * e3;
+      if (!(d1sq < infsq || (d1sq < l * l && r0[j] < l))) continue;
+      const double b = dxo[j] * lvx + dyo[j] * lvy + dzo[j] * lvz;
       if (b > l * l) continue;
-      const double cx = ox + lvx * (b / lvsq) - q.x;
-      const double cy = oy + lvy * (b / lvsq) - q.y;
-      const double cz = oz + lvz * (b / lvsq) - q.z;
-      const double dist = std::sqrt(cx * cx + cy * cy + cz * cz);
-      if (dist < influence) { nearest_z = q.z; l = b / lvn; }
+      const double s = b / lvsq;
+      const double cx = lvx * s - dxo[j];
+      const double cy = lvy * s - dyo[j];
+      const double cz = lvz * s - dzo[j];
+      if (cx * cx + cy * cy + cz * cz < infsq) { nearest_z = hits[j].z; l = b / lvn; }
     }
     if (l < max_range / 5.0 && l / (offset - nearest_z) > 0) continue;
     endp = {ox + nx * (float)l, oy + ny * (float)l, oz + nz * (float)l};
