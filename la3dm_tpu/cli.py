@@ -114,18 +114,23 @@ def cmd_bag(args) -> int:
     from la3dm_tpu.geometry.preprocess import voxel_downsample
     from la3dm_tpu.io.rosbag import replay
 
+    from la3dm_tpu.io.rosbag import quat_angle
+
     cfg = load_method_config(args.method, **_parse_overrides(args.set))
     m = build_map(cfg)
-    last_pos = None
+    last_pos = last_quat = None
     n_used = 0
     t_all = time.perf_counter()
-    for cloud, origin in replay(args.bag, cloud_topic=args.cloud_topic,
-                                pose_topic=args.pose_topic):
-        # motion gate: integrate only if moved > 0.1 m (server.cpp:17-20,60;
-        # the rotation gate needs orientation, not parsed here)
-        if last_pos is not None and np.linalg.norm(origin - last_pos) <= 0.1 and n_used:
+    for cloud, origin, quat in replay(args.bag, cloud_topic=args.cloud_topic,
+                                      pose_topic=args.pose_topic,
+                                      with_orientation=True):
+        # motion gate: integrate only if moved > 0.1 m or rotated > 0.2 rad
+        # (server.cpp:17-20,60)
+        if (last_pos is not None and n_used
+                and np.linalg.norm(origin - last_pos) <= 0.1
+                and quat_angle(quat, last_quat) <= 0.2):
             continue
-        last_pos = origin
+        last_pos, last_quat = origin, quat
         t0 = time.perf_counter()
         if cfg.method != "bgklv":
             # the server pre-downsamples before insert (server.cpp:70-82)

@@ -185,3 +185,23 @@ def point_to_voxel_index(points: np.ndarray, centers: np.ndarray, resolution: fl
     rel = (points - centers) / np.float32(resolution) + n / 2.0
     idx = np.clip(rel.astype(np.int32), 0, n - 1)
     return idx[:, 0] + idx[:, 1] * n + idx[:, 2] * n * n
+
+
+def rotate_euler(points: np.ndarray, roll: float, pitch: float, yaw: float) -> np.ndarray:
+    """Euler rotation with the reference's sequence and rounding.
+
+    ``Vector3::rotate_IP`` (src/common/point3f.cpp:8-30) applies pitch
+    (about y), then yaw (about z), then roll (about x), casting to float32
+    after each stage; used by pose application in scan ingestion.
+    """
+    p = np.asarray(points, np.float32).reshape(-1, 3).copy()
+    x, z = p[:, 0].astype(np.float64), p[:, 2].astype(np.float64)
+    p[:, 0] = (z * np.sin(pitch) + x * np.cos(pitch)).astype(np.float32)
+    p[:, 2] = (z * np.cos(pitch) - x * np.sin(pitch)).astype(np.float32)
+    x, y = p[:, 0].astype(np.float64), p[:, 1].astype(np.float64)
+    p[:, 0] = (x * np.cos(yaw) - y * np.sin(yaw)).astype(np.float32)
+    p[:, 1] = (x * np.sin(yaw) + y * np.cos(yaw)).astype(np.float32)
+    y, z = p[:, 1].astype(np.float64), p[:, 2].astype(np.float64)
+    p[:, 1] = (y * np.cos(roll) - z * np.sin(roll)).astype(np.float32)
+    p[:, 2] = (y * np.sin(roll) + z * np.cos(roll)).astype(np.float32)
+    return p.reshape(np.asarray(points).shape)

@@ -124,29 +124,44 @@ def parse_pointcloud2(raw: bytes) -> np.ndarray:
 
 def parse_pose(raw: bytes) -> np.ndarray:
     """geometry_msgs/PoseStamped (or Pose) → position [3] float64."""
+    return parse_pose_full(raw)[0]
+
+
+def parse_pose_full(raw: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """geometry_msgs/PoseStamped (or Pose) → (position [3], quaternion [4] xyzw)."""
     off = 0
     if len(raw) > 56:  # stamped: skip std_msgs/Header
         off += 4 + 8
         slen = struct.unpack_from("<I", raw, off)[0]
         off += 4 + slen
     x, y, z = struct.unpack_from("<ddd", raw, off)
-    return np.array([x, y, z])
+    qx, qy, qz, qw = struct.unpack_from("<dddd", raw, off + 24)
+    return np.array([x, y, z]), np.array([qx, qy, qz, qw])
+
+
+def quat_angle(q1: np.ndarray, q2: np.ndarray) -> float:
+    """Rotation angle (rad) between two unit quaternions (xyzw)."""
+    d = abs(float(np.dot(q1, q2)))
+    return 2.0 * float(np.arccos(min(1.0, d)))
 
 
 def replay(path: str, cloud_topic: str = "/selected_pc2_map",
-           pose_topic: str = "/robot_pose"):
-    """Yield (points [N,3], origin [3]) pairs, pairing each cloud with the
-    nearest-time pose (the reference server's tf lookup equivalent, which
-    waits for the transform; bgkoctomap_server.cpp:46-53)."""
+           pose_topic: str = "/robot_pose", with_orientation: bool = False):
+    """Yield (points [N,3], origin [3][, quat [4]]) tuples, pairing each cloud
+    with the nearest-time pose (the reference server's tf lookup equivalent,
+    which waits for the transform; bgkoctomap_server.cpp:46-53)."""
     poses, clouds = [], []
     for topic, _mtype, payload, t in read_messages(path, topics={cloud_topic, pose_topic}):
         if topic == pose_topic:
-            poses.append((t, parse_pose(payload)))
+            poses.append((t,) + parse_pose_full(payload))
         elif topic == cloud_topic:
             clouds.append((t, payload))
     if not poses:
-        poses = [(0, np.zeros(3))]
-    pt = np.array([t for t, _ in poses], dtype=np.float64)
+        poses = [(0, np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0]))]
+    pt = np.array([t for t, _, _ in poses], dtype=np.float64)
     for t, payload in clouds:
         i = int(np.argmin(np.abs(pt - t)))
-        yield parse_pointcloud2(payload), poses[i][1].astype(np.float32)
+        if with_orientation:
+            yield parse_pointcloud2(payload), poses[i][1].astype(np.float32), poses[i][2]
+        else:
+            yield parse_pointcloud2(payload), poses[i][1].astype(np.float32)

@@ -68,3 +68,31 @@ def test_pairwise_dist_centered_accuracy(rng):
     ours = np.asarray(km.pairwise_dist(jnp.asarray(a), jnp.asarray(b)))
     ref = np.linalg.norm(a[:, None] - b[None], axis=-1)
     np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+
+def test_rotate_euler_matches_scalar_reference():
+    """rotate_euler vs a literal scalar transcription of point3f.cpp:8-30."""
+    import numpy as np
+    from la3dm_tpu.geometry.blocks import rotate_euler
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-2, 2, (50, 3)).astype(np.float32)
+    roll, pitch, yaw = 0.3, -0.7, 1.9
+
+    def scalar(v):
+        import math
+        x, y, z = float(v[0]), float(v[1]), float(v[2])
+        x, z = np.float32(z * math.sin(pitch) + x * math.cos(pitch)), \
+               np.float32(z * math.cos(pitch) - x * math.sin(pitch))
+        x, y = np.float32(float(x) * math.cos(yaw) - y * math.sin(yaw)), \
+               np.float32(float(x) * math.sin(yaw) + y * math.cos(yaw))
+        y, z = np.float32(float(y) * math.cos(roll) - float(z) * math.sin(roll)), \
+               np.float32(float(y) * math.sin(roll) + float(z) * math.cos(roll))
+        return np.array([x, y, z], np.float32)
+
+    got = rotate_euler(pts, roll, pitch, yaw)
+    want = np.stack([scalar(v) for v in pts])
+    np.testing.assert_allclose(got, want, atol=2e-7)
+    # pure rotation: norms preserved
+    np.testing.assert_allclose(np.linalg.norm(got, axis=1),
+                               np.linalg.norm(pts, axis=1), rtol=1e-5)
