@@ -85,13 +85,14 @@ def _ray_membership(vox, rays, rays_valid, free_res, ell):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("V", "sf2", "ell", "free_res", "gate"),
+    static_argnames=("V", "Rt", "Ht", "sf2", "ell", "free_res", "gate"),
     donate_argnames=("A", "Bv", "touched"),
 )
 def _lv_tile_step(A, Bv, touched, eff, slots, pos_id, block_centers,
                   tile_vox_map, vox_base,
-                  rays, hits, ray_idx, ray_valid, hit_idx, hit_valid,
-                  V: int, sf2: float, ell: float, free_res: float, gate: float):
+                  rays, hits, ray_ids, r_start, r_count, hit_ids, h_start, h_count,
+                  V: int, Rt: int, Ht: int,
+                  sf2: float, ell: float, free_res: float, gate: float):
     """One tier's tile batch: per-voxel LV inference + flat scatter.
 
     A/Bv/touched/eff: flat [capacity·V] pool views (eff read-only).
@@ -100,11 +101,21 @@ def _lv_tile_step(A, Bv, touched, eff, slots, pos_id, block_centers,
     device-resident constants — flat addresses and voxel offsets are
     reconstructed on device to keep the per-scan transfer small.
     rays [R,6] / hits [H,3]: this scan's global entries (sentinel last row).
-    ray_idx [T,Rt] / hit_idx [T,Ht]: per-tile entry indices + valid masks.
+    ray_ids/hit_ids: flat tile-sorted entry-id tables (shared by all tiers,
+    shipped once per scan); r_/h_start+count [T]: this tier's contiguous
+    segments into them — the padded [T,Rt]/[T,Ht] index matrices are built
+    on device instead of filled and shipped per tier.
     """
     ellf = jnp.float32(ell)
     vox_map = tile_vox_map[pos_id]                             # [T,Vt]
     flat_idx = slots[:, None].astype(jnp.int64) * V + vox_map  # padding ⇒ ≥ len
+
+    rcol = jnp.arange(Rt, dtype=jnp.int32)[None, :]
+    ray_valid = rcol < r_count[:, None]                        # [T,Rt]
+    ray_idx = ray_ids[jnp.minimum(r_start[:, None] + rcol, ray_ids.shape[0] - 1)]
+    hcol = jnp.arange(Ht, dtype=jnp.int32)[None, :]
+    hit_valid = hcol < h_count[:, None]                        # [T,Ht]
+    hit_idx = hit_ids[jnp.minimum(h_start[:, None] + hcol, hit_ids.shape[0] - 1)]
 
     def per_tile(args):
         vmap_row, ctr, ridx, rmask, hidx, hmask = args
@@ -332,6 +343,18 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         hits_dev = jnp.asarray(np.concatenate(
             [td.hits, np.zeros((1, 3), np.float32)]))
 
+        # flat tile-sorted entry-id tables, shipped once per scan; padding
+        # points at the sentinel rows (monotone pow2 shapes)
+        fpads = _GLOBAL_PADS.setdefault(("LVflat", self.cfg), {"PR": 1024, "PH": 256})
+        fpads["PR"] = max(fpads["PR"], base.next_pow2(max(len(rays_sorted), 1024)))
+        fpads["PH"] = max(fpads["PH"], base.next_pow2(max(len(hits_sorted), 256)))
+        ray_ids_p = np.full(fpads["PR"], R, np.int32)
+        ray_ids_p[:len(rays_sorted)] = rays_sorted
+        hit_ids_p = np.full(fpads["PH"], H, np.int32)
+        hit_ids_p[:len(hits_sorted)] = hits_sorted
+        ray_ids_dev = jnp.asarray(ray_ids_p)
+        hit_ids_dev = jnp.asarray(hit_ids_p)
+
         if not hasattr(self, "_dev_consts"):
             self._dev_consts = (jnp.asarray(self._tile_vox_map),
                                 jnp.asarray(self._vox_base))
@@ -357,32 +380,25 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             slots_p = np.full(Tp, self.pool.capacity, np.int32)
             pos_p = np.zeros(Tp, np.int32)
             ctrs = np.zeros((Tp, 3), np.float32)
+            rs_p = np.zeros(Tp, np.int32)
+            rc_p = np.zeros(Tp, np.int32)
+            hs_p = np.zeros(Tp, np.int32)
+            hc_p = np.zeros(Tp, np.int32)
             slots_p[:len(sel)] = slots[sel]
             pos_p[:len(sel)] = pos_id[sel]
             ctrs[:len(sel)] = centers[sel]
-
-            def fill(sorted_payload, starts, counts, width, fill_value):
-                out = np.full((Tp, width), fill_value, np.int32)
-                mask = np.zeros((Tp, width), bool)
-                lens = counts[sel]
-                tot = int(lens.sum())
-                if tot:
-                    within = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
-                    rows = np.repeat(np.arange(len(sel)), lens)
-                    out[rows, within] = sorted_payload[np.repeat(starts[sel], lens) + within]
-                    mask[rows, within] = True
-                return out, mask
-
-            ridx, rmask = fill(rays_sorted, r_start, r_count, Rt, R)
-            hidx, hmask = fill(hits_sorted, h_start, h_count, Ht, H)
+            rs_p[:len(sel)] = r_start[sel]
+            rc_p[:len(sel)] = r_count[sel]
+            hs_p[:len(sel)] = h_start[sel]
+            hc_p[:len(sel)] = h_count[sel]
 
             Af, Bf, Tf = _lv_tile_step(
                 Af, Bf, Tf, Ef,
                 jnp.asarray(slots_p), jnp.asarray(pos_p), jnp.asarray(ctrs),
                 tvm_dev, vb_dev, rays_dev, hits_dev,
-                jnp.asarray(ridx), jnp.asarray(rmask),
-                jnp.asarray(hidx), jnp.asarray(hmask),
-                V=self.V, sf2=cfg.sf2, ell=cfg.ell,
+                ray_ids_dev, jnp.asarray(rs_p), jnp.asarray(rc_p),
+                hit_ids_dev, jnp.asarray(hs_p), jnp.asarray(hc_p),
+                V=self.V, Rt=Rt, Ht=Ht, sf2=cfg.sf2, ell=cfg.ell,
                 free_res=self._last_free_res, gate=self.GATE)
 
         self.pool.fields["A"] = Af.reshape(self.pool.capacity, self.V)
