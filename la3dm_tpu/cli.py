@@ -55,7 +55,14 @@ def cmd_static(args) -> int:
     def progress(i, dt):
         print(f"Scan {i} done in {dt:.3f}s", flush=True)
 
-    res = run_static(cfg, ds, progress=progress)
+    if args.profile_dir:
+        from la3dm_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile_dir):
+            res = run_static(cfg, ds, progress=progress)
+        print(f"Device trace written to {args.profile_dir} (TensorBoard)")
+    else:
+        res = run_static(cfg, ds, progress=progress)
     print(f"Mapping finished in {res.total_seconds:.3f}s "
           f"({res.scans_per_second:.2f} scans/s)")
 
@@ -171,6 +178,8 @@ def main(argv=None) -> int:
     p.add_argument("--dataset", default="sim_structured")
     p.add_argument("--scan-num", type=int, default=0)
     p.add_argument("--out", default="")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler device trace here (TensorBoard)")
     _add_overrides(p)
     p.set_defaults(fn=cmd_static)
 
