@@ -54,6 +54,14 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ip, ip, ip,
         ]
+        lib.lv_tile_tables_ray.restype = ctypes.c_int
+        lib.lv_tile_tables_ray.argtypes = [
+            f32p, ctypes.c_int, f32p, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i64p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ip, ip, ip,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -129,6 +137,47 @@ def lv_tile_tables(hits: np.ndarray, samples: np.ndarray, sample_ray: np.ndarray
         nt, nhf, nrf = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
         rc = lib.lv_tile_tables(
             hits.reshape(-1), H, samples.reshape(-1), sample_ray, S,
+            float(ts), float(halo), float(shift),
+            keys, hs, hc, rs, rc_, hf, rf,
+            max_t, max_hf, max_rf,
+            ctypes.byref(nt), ctypes.byref(nhf), ctypes.byref(nrf))
+        if rc == 0:
+            break
+        max_t *= 2
+        max_hf *= 2
+        max_rf *= 2
+    Ta = nt.value
+    return (keys[:Ta].copy(), hs[:Ta].copy(), hc[:Ta].copy(),
+            rs[:Ta].copy(), rc_[:Ta].copy(),
+            hf[:nhf.value].copy(), rf[:nrf.value].copy())
+
+
+def lv_tile_tables_ray(hits: np.ndarray, rays: np.ndarray,
+                       ts: float, halo: float, shift: float):
+    """Segment event-walk tile tables (see host_preprocess.cpp) — same output
+    contract as :func:`lv_tile_tables`, built from ray segments directly
+    (a slight superset of the proxy-sample set; exact membership is re-tested
+    on device).  Returns None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    hits = np.ascontiguousarray(hits, np.float32)
+    rays = np.ascontiguousarray(rays, np.float32)
+    H, R = len(hits), len(rays)
+    max_t = 64 * max(H + R, 8)
+    max_hf = 16 * max(H, 8)
+    max_rf = 128 * max(R, 8)
+    while True:
+        keys = np.empty(max_t, np.int64)
+        hs = np.empty(max_t, np.int32)
+        hc = np.empty(max_t, np.int32)
+        rs = np.empty(max_t, np.int32)
+        rc_ = np.empty(max_t, np.int32)
+        hf = np.empty(max_hf, np.int32)
+        rf = np.empty(max_rf, np.int32)
+        nt, nhf, nrf = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        rc = lib.lv_tile_tables_ray(
+            hits.reshape(-1), H, rays.reshape(-1), R,
             float(ts), float(halo), float(shift),
             keys, hs, hc, rs, rc_, hf, rf,
             max_t, max_hf, max_rf,

@@ -8,19 +8,29 @@ rays, :176-207), and runs a single-test-point BGKLV predict with gate
 k̄ > 0.001 (:236-238).  Leaves above base resolution are skipped (:157-160);
 pruning only runs with original_size (:271-272).
 
-TPU design — the **tile engine**: the reference's O(voxels) tiny GEMVs
-become dense masked products over 8³-voxel tiles.  Each tile carries the
-indices of the rays/hits whose R-tree proxy samples fall in the tile's
-ℓ-halo; tiles are tiered by entry count so near-sensor tiles don't inflate
-the padding of the whole map.  Ray-sample cube membership is evaluated in
-closed form (interval arithmetic over the beam's sample grid) instead of
-materializing proxy samples.  Scatters address the pool as a flat
-[capacity·V] array.
+TPU design — the **row engine**: the reference's O(voxels) tiny GEMVs
+become dense masked products over 8³-voxel tiles.  Each active (scan, tile)
+pair owns the ids of the rays/hits whose R-tree proxy samples fall in the
+tile's ℓ-halo; hits are *degenerate segments* (start == end), exactly as the
+reference stores them, so one unified membership + point-to-segment-kernel
+path covers both.  Entry lists are cut into fixed-width rows of W entries —
+one executable for every workload size, no per-size tier ladder — partial
+(ȳ, k̄) row sums are accumulated per tile on device, gated once per
+(scan, tile), and scattered into the flat [capacity·V] pool.
+
+Because Beta updates are additive scatter-adds and the default config never
+prunes (original_size=False ⇒ :271-272 skips), **any number of scans can be
+integrated in one dispatch** with per-scan gate semantics preserved: each
+(scan, tile) row group is gated against its own scan's k̄ before the add.
+``insert_pointclouds`` exploits this — the whole demo sequence becomes one
+preprocessing pass (native, thread-parallel over scans) plus a single
+device dispatch.
 """
 
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax
@@ -28,11 +38,14 @@ import jax.numpy as jnp
 
 from la3dm_tpu.geometry import blocks as geo, preprocess
 from la3dm_tpu.kernels import math as km
-from la3dm_tpu.models import base, posterior, pruning
+from la3dm_tpu.models import base, posterior
 from la3dm_tpu.utils.config import MapConfig
 
-# ray/hit-count tiers: fixed ladder so the jitted step compiles once per tier
-_TIERS = (32, 128, 512, 2048, 8192)
+#: fixed entry-row width (lane-aligned); rows beyond a tile's entry count are
+#: masked, tiles with more entries get multiple rows accumulated on device
+_ROW_W = 128
+#: lax.map chunk: bounds the [chunk, Vt, W] kernel live set (~8 MiB f32)
+_CHUNK = 32
 
 # monotone pad sizes shared across map instances with the same config
 _GLOBAL_PADS: dict = {}
@@ -47,6 +60,10 @@ def _ray_membership(vox, rays, rays_valid, free_res, ell):
     cube membership reduces to interval arithmetic: intersect the cube's
     per-axis d-intervals, then ask whether an integer k lands inside — O(1)
     per (voxel, ray) instead of per sample.
+
+    Degenerate rays (start == end — occupied hits, stored exactly as the
+    reference's point6f(p, p)): l = 0 makes the beam interval empty, so
+    membership reduces to ``origin in cube`` — the hit-point cube test.
     """
     ellf = jnp.float32(ell)
     fr = jnp.float32(free_res)
@@ -85,85 +102,74 @@ def _ray_membership(vox, rays, rays_valid, free_res, ell):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("V", "Rt", "Ht", "sf2", "ell", "free_res", "gate"),
+    static_argnames=("V", "W", "chunk", "sf2", "ell", "free_res", "gate"),
     donate_argnames=("A", "Bv", "touched"),
 )
-def _lv_tile_step(A, Bv, touched, eff, slots, pos_id, block_centers,
+def _lv_rows_step(A, Bv, touched, eff,
                   tile_vox_map, vox_base,
-                  rays, hits, ray_ids, r_start, r_count, hit_ids, h_start, h_count,
-                  V: int, Rt: int, Ht: int,
+                  entries, labels, ids_flat,
+                  row_tile, row_start, row_count,
+                  tile_slot, tile_pos, tile_ctr,
+                  V: int, W: int, chunk: int,
                   sf2: float, ell: float, free_res: float, gate: float):
-    """One tier's tile batch: per-voxel LV inference + flat scatter.
+    """All (scan, tile) rows of a batch in one dispatch.
 
     A/Bv/touched/eff: flat [capacity·V] pool views (eff read-only).
-    slots [T] pool block slots (== capacity ⇒ padding), pos_id [T] tile
-    position within block; tile_vox_map [tpb,Vt] and vox_base [V,3] are
-    device-resident constants — flat addresses and voxel offsets are
-    reconstructed on device to keep the per-scan transfer small.
-    rays [R,6] / hits [H,3]: this scan's global entries (sentinel last row).
-    ray_ids/hit_ids: flat tile-sorted entry-id tables (shared by all tiers,
-    shipped once per scan); r_/h_start+count [T]: this tier's contiguous
-    segments into them — the padded [T,Rt]/[T,Ht] index matrices are built
-    on device instead of filled and shipped per tier.
+    entries [E,6] degenerate-hit + free-ray segments across all scans of the
+    batch, labels [E] (1 hit / 0 ray); ids_flat [F] tile-major merged entry
+    ids.  row_* [Rw]: each row covers ids_flat[start:start+count] (count ≤ W,
+    0 ⇒ padding) of tile ``row_tile``.  tile_slot/pos/ctr [Tp]: pool slot
+    (== capacity ⇒ padding), tile position id within its block, block center.
+    Per-tile (ȳ, k̄) accumulate across that tile's rows only — rows never mix
+    scans, so the k̄ > gate test keeps per-scan semantics exactly
+    (bgklvoctomap.cpp:236-238).
     """
-    ellf = jnp.float32(ell)
-    vox_map = tile_vox_map[pos_id]                             # [T,Vt]
-    flat_idx = slots[:, None].astype(jnp.int64) * V + vox_map  # padding ⇒ ≥ len
+    F = ids_flat.shape[0]
+    Rw = row_tile.shape[0]
+    Tp = tile_slot.shape[0]
+    Vt = tile_vox_map.shape[1]
 
-    rcol = jnp.arange(Rt, dtype=jnp.int32)[None, :]
-    ray_valid = rcol < r_count[:, None]                        # [T,Rt]
-    ray_idx = ray_ids[jnp.minimum(r_start[:, None] + rcol, ray_ids.shape[0] - 1)]
-    hcol = jnp.arange(Ht, dtype=jnp.int32)[None, :]
-    hit_valid = hcol < h_count[:, None]                        # [T,Ht]
-    hit_idx = hit_ids[jnp.minimum(h_start[:, None] + hcol, hit_ids.shape[0] - 1)]
+    wcol = jnp.arange(W, dtype=jnp.int32)[None, :]
+    ids = ids_flat[jnp.minimum(row_start[:, None] + wcol, F - 1)]   # [Rw,W]
+    valid = wcol < row_count[:, None]
+    rpos = tile_pos[row_tile]                                       # [Rw]
+    rctr = tile_ctr[row_tile]                                       # [Rw,3]
 
-    def per_tile(args):
-        vmap_row, ctr, ridx, rmask, hidx, hmask = args
-        vox = ctr[None, :] + vox_base[vmap_row]                # [Vt,3]
-        rv = rays[ridx]                                        # [Rt,6]
-        hv = hits[hidx]                                        # [Ht,3]
+    def per_row(args):
+        ids_r, val_r, pos_r, ctr_r = args
+        vox = ctr_r[None, :] + vox_base[tile_vox_map[pos_r]]        # [Vt,3]
+        ent = entries[ids_r]                                        # [W,6]
+        lab = labels[ids_r]
+        member = _ray_membership(vox, ent, val_r, free_res, ell)
+        d = km.point_to_segment_dist(vox, ent)
+        K = jnp.where(member, km.sparse_kernel_lv(d / jnp.float32(ell), sf2), 0.0)
+        rhs = jnp.stack([lab, jnp.ones_like(lab)], axis=1)          # [W,2]
+        out = jnp.dot(K, rhs, preferred_element_type=jnp.float32)   # [Vt,2]
+        return out[:, 0], out[:, 1]
 
-        lo = vox - ellf
-        hi = vox + ellf
-        member_h = jnp.all(
-            (hv[None, :, :] >= lo[:, None, :]) & (hv[None, :, :] <= hi[:, None, :]),
-            axis=-1) & hmask[None, :]
-        dh = km.pairwise_dist(vox, hv)
-        Kh = jnp.where(member_h, km.sparse_kernel_lv(dh / ellf, sf2), 0.0)
-
-        member_r = _ray_membership(vox, rv, rmask, free_res, ell)
-        dr = km.point_to_segment_dist(vox, rv)
-        Kr = jnp.where(member_r, km.sparse_kernel_lv(dr / ellf, sf2), 0.0)
-
-        ybar = jnp.sum(Kh, axis=1)
-        kbar = ybar + jnp.sum(Kr, axis=1)
-        return ybar, kbar
-
-    # chunked vmap: lax.map's per-iteration overhead dwarfs a single tile's
-    # work; batch tiles and let lax.map step over chunks.  Chunk size scales
-    # inversely with the tier's ray width to bound the [chunk,Vt,Rt] live set.
-    T = vox_map.shape[0]
-    chunk = min(max(16384 // max(ray_idx.shape[1], 1), 1), 32, T)
-    while T % chunk:
-        chunk //= 2
-    nchunk = T // chunk
+    nchunk = Rw // chunk
 
     def rc(x):
         return x.reshape(nchunk, chunk, *x.shape[1:])
 
-    ybar, kbar = jax.lax.map(
-        lambda args: jax.vmap(lambda *a: per_tile(a))(*args),
-        tuple(rc(x) for x in (vox_map, block_centers,
-                              ray_idx, ray_valid, hit_idx, hit_valid)))
-    ybar = ybar.reshape(T, -1)
-    kbar = kbar.reshape(T, -1)                                  # [T,Vt]
+    yb, kb = jax.lax.map(
+        lambda a: jax.vmap(lambda *b: per_row(b))(*a),
+        tuple(rc(x) for x in (ids, valid, rpos, rctr)))
+    yb = yb.reshape(Rw, Vt)
+    kb = kb.reshape(Rw, Vt)
 
-    g = kbar > jnp.float32(gate)
-    live = eff[jnp.minimum(flat_idx, eff.shape[0] - 1)] == 0   # base leaves only
+    acc_y = jnp.zeros((Tp, Vt), jnp.float32).at[row_tile].add(yb)
+    acc_k = jnp.zeros((Tp, Vt), jnp.float32).at[row_tile].add(kb)
+
+    # flat pool addresses; int32 is safe: capacity·V < 2^31 (guarded host-side)
+    vox_map = tile_vox_map[tile_pos]                                # [Tp,Vt]
+    flat_idx = tile_slot[:, None] * jnp.int32(V) + vox_map          # pad ⇒ ≥ len
+    g = acc_k > jnp.float32(gate)
+    live = eff[jnp.minimum(flat_idx, eff.shape[0] - 1)] == 0        # base leaves
     g = g & live
     fi = flat_idx.reshape(-1)
-    A = A.at[fi].add(jnp.where(g, ybar, 0.0).reshape(-1), mode="drop")
-    Bv = Bv.at[fi].add(jnp.where(g, kbar - ybar, 0.0).reshape(-1), mode="drop")
+    A = A.at[fi].add(jnp.where(g, acc_y, 0.0).reshape(-1), mode="drop")
+    Bv = Bv.at[fi].add(jnp.where(g, acc_k - acc_y, 0.0).reshape(-1), mode="drop")
     touched = touched.at[fi].max(g.reshape(-1), mode="drop")
     return A, Bv, touched
 
@@ -190,6 +196,15 @@ def _halo_blocks(points: np.ndarray, cell: float, halo: float) -> tuple[np.ndarr
     return np.concatenate(coords_list), np.concatenate(idx_list)
 
 
+def _intra(counts: np.ndarray) -> np.ndarray:
+    """[sum(counts)] int64: 0..c−1 within each group, groups laid out in order."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
 class BGKLVOctoMap(base.OccupancyMapBase):
     GATE = 0.001
 
@@ -214,13 +229,14 @@ class BGKLVOctoMap(base.OccupancyMapBase):
                                            + (tz * te + z) * n * n)
                     maps.append(idx)
         self._tile_vox_map = np.asarray(maps, np.int32)       # [tpb, Vt]
-        self._pad_state: dict = {}
 
     def _field_fills(self):
         return {"A": self.cfg.prior_A, "B": self.cfg.prior_B}
 
-    def insert_pointcloud(self, cloud, origin, ds_resolution=None,
-                          free_resolution=None, max_range=None) -> None:
+    # ------------------------------------------------------------------ API
+
+    def _preprocess_scan(self, cloud, origin, ds_resolution, free_resolution,
+                         max_range) -> preprocess.SegmentTrainingData:
         cfg = self.cfg
         ds = cfg.ds_resolution if ds_resolution is None else ds_resolution
         ds = min(ds, cfg.resolution)  # clamp (bgklvoctomap.cpp:102-104)
@@ -232,17 +248,137 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         td = native.lv_training_data(cloud, origin, ds, fr, mr, cfg.ell)
         if td is None:  # no native toolchain — numpy fallback
             td = preprocess.bgklv_training_data(cloud, origin, ds, fr, mr, cfg.ell)
-        self._integrate(td)
+        return td
 
-    def _integrate(self, td: preprocess.SegmentTrainingData) -> None:
-        cfg = self.cfg
-        all_pts = np.concatenate([td.hits, td.samples], axis=0)
-        if len(all_pts) == 0:
+    def insert_pointcloud(self, cloud, origin, ds_resolution=None,
+                          free_resolution=None, max_range=None) -> None:
+        td = self._preprocess_scan(cloud, origin, ds_resolution,
+                                   free_resolution, max_range)
+        self._integrate_many([td])
+
+    def insert_pointclouds(self, clouds, origins, ds_resolution=None,
+                           free_resolution=None, max_range=None) -> None:
+        """Integrate a scan *sequence* in one device dispatch.
+
+        Exact (bit-for-bit up to f32 sum reassociation) relative to the
+        sequential loop whenever pruning is off — the default: the reference
+        prunes only with original_size (bgklvoctomap.cpp:271-272), and the
+        Beta update is an additive scatter gated per (scan, voxel).  With
+        original_size set, falls back to per-scan integration so each scan
+        sees the previous scan's pruned leaf levels.
+        """
+        if self.cfg.original_size and self.cfg.block_depth > 1:
+            for cloud, origin in zip(clouds, origins):
+                self.insert_pointcloud(cloud, origin, ds_resolution,
+                                       free_resolution, max_range)
             return
+        # native preprocessing + tile tables release the GIL — thread across
+        # scans; pool allocation and the device dispatch stay on this thread
+        def work(co):
+            td = self._preprocess_scan(co[0], co[1], ds_resolution,
+                                       free_resolution, max_range)
+            return td, self._scan_tables(td)
+
+        with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
+            prepped = list(ex.map(work, zip(clouds, origins)))
+        self._integrate_many([td for td, _ in prepped],
+                             tables=[t for _, t in prepped])
+
+    # ------------------------------------------------------------- internals
+
+    def _scan_tables(self, td: preprocess.SegmentTrainingData):
+        """Per-tile halo membership tables for one scan (native or numpy).
+
+        Returns (active_keys, h_start, h_count, r_start, r_count,
+        hits_sorted, rays_sorted) — contiguous per-tile segments into the
+        tile-sorted hit/ray id tables — or None for an empty scan.
+        """
+        cfg = self.cfg
+        if len(td.hits) == 0 and len(td.samples) == 0:
+            return None
+        bs = self.block_size
+        # tile grid in the block-corner frame: blocks are CENTERED at k·bs
+        # (round-half-up hashing), so shift by bs/2 to make tile m cover
+        # q ∈ [m·ts, (m+1)·ts) with block k = floor(m / tpa) exactly aligned
+        ts = bs / self.tiles_per_axis
+        halo = cfg.ell  # voxel cubes reach ≤ ts − res/2 + ell from tile corners
+        shift = np.float64(bs) / 2.0
+        from la3dm_tpu.geometry import native
+
+        # segment event-walk: a slight superset of the proxy-sample candidate
+        # set (exact membership is re-tested on device), no sample expansion
+        tables = native.lv_tile_tables_ray(td.hits, td.rays, ts, halo, float(shift))
+        if tables is not None:
+            return tables if len(tables[0]) else None
+
+        # numpy fallback (no native toolchain)
+        ht_coords, ht_idx = _halo_blocks(td.hits.astype(np.float64) + shift, ts, halo)
+        st_coords, st_idx = _halo_blocks(td.samples.astype(np.float64) + shift, ts, halo)
+
+        ht_keys = geo.pack_key(ht_coords)
+        st_keys = geo.pack_key(st_coords)
+        # dedup (tile, ray) pairs via lexsort — np.unique(axis=0)'s
+        # void-dtype sort costs ~9× more on these ~100k-row tables
+        st_rays = td.sample_ray[st_idx]
+        order = np.lexsort((st_rays, st_keys))
+        sk, sr = st_keys[order], st_rays[order]
+        keep = np.empty(len(sk), bool)
+        if len(sk):
+            keep[0] = True
+            keep[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+        ray_pairs = np.stack([sk[keep], sr[keep]], 1) if len(sk) \
+            else np.zeros((0, 2), np.int64)
+
+        active_keys = np.unique(np.concatenate([ht_keys, ray_pairs[:, 0]]))
+        T = len(active_keys)
+        if T == 0:
+            return None
+
+        def segments(keys, payload):
+            """Sorted payload + per-active-tile (start,count)."""
+            order = np.argsort(keys, kind="stable")
+            ks, ps = keys[order], payload[order]
+            uk, st, ct = np.unique(ks, return_index=True, return_counts=True)
+            if len(uk) == 0:  # e.g. no hits when max_range ≤ 0 (ref :323-334)
+                z = np.zeros(T, np.int64)
+                return ps, z, z
+            pos = np.searchsorted(uk, active_keys)
+            pos = np.clip(pos, 0, max(len(uk) - 1, 0))
+            hit = (uk[pos] == active_keys) if len(uk) else np.zeros(T, bool)
+            return ps, np.where(hit, st[pos], 0), np.where(hit, ct[pos], 0)
+
+        hits_sorted, h_start, h_count = segments(ht_keys, ht_idx.astype(np.int32))
+        rays_sorted, r_start, r_count = segments(ray_pairs[:, 0],
+                                                 ray_pairs[:, 1].astype(np.int32))
+        return (active_keys, h_start, h_count, r_start, r_count,
+                hits_sorted, rays_sorted)
+
+    def _scan_rows(self, td: preprocess.SegmentTrainingData, tables=None):
+        """One scan's filtered (scan, tile) rows + merged per-tile entry ids.
+
+        Returns None or a dict with per-tile arrays (slots, pos_id, centers,
+        merged counts) and ``ids``: the tile-major merged entry id table,
+        hit ids first then ray ids per tile (scan-local numbering — hits
+        0..H−1, rays H..H+R−1; the reference builds each voxel's training set
+        hits-then-frees too, bgklvoctomap.cpp:176-207).
+        """
+        if len(td.hits) == 0 and len(td.samples) == 0:
+            return None
+        if tables is None:
+            tables = self._scan_tables(td)
+        if tables is None:
+            return None
+        # training-data bbox over hits ∪ ray proxy samples (reference sweeps
+        # the R-tree extent, bgkloctomap.cpp:409-418) — reduce without concat
+        parts = [p for p in (td.hits, td.samples) if len(p)]
+        lim_min = np.minimum.reduce([p.min(0) for p in parts]).astype(np.float64)
+        lim_max = np.maximum.reduce([p.max(0) for p in parts]).astype(np.float64)
+        (active_keys, h_start, h_count, r_start, r_count,
+         hits_sorted, rays_sorted) = tables
+
         # candidate blocks: the reference's float-stepped bbox sweep creates
         # every block from lim_min−bs to lim_max+2bs (bgkloctomap.cpp:409-418)
         bs = self.block_size
-        lim_min, lim_max = all_pts.min(0).astype(np.float64), all_pts.max(0).astype(np.float64)
         los, his = [], []
         for ax in range(3):
             k_max = int(np.floor((lim_max[ax] + 2 * bs - (lim_min[ax] - bs)) / bs))
@@ -252,62 +388,6 @@ class BGKLVOctoMap(base.OccupancyMapBase):
                                  indexing="ij")
         cand = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.int64)
         self.pool.ensure(cand)
-
-        # tile grid in the block-corner frame: blocks are CENTERED at k·bs
-        # (round-half-up hashing), so shift by bs/2 to make tile m cover
-        # q ∈ [m·ts, (m+1)·ts) with block k = floor(m / tpa) exactly aligned
-        ts = bs / self.tiles_per_axis
-        halo = cfg.ell  # voxel cubes reach ≤ ts − res/2 + ell from tile corners
-        shift = np.float64(bs) / 2.0
-        from la3dm_tpu.geometry import native
-
-        tables = native.lv_tile_tables(td.hits, td.samples, td.sample_ray,
-                                       ts, halo, float(shift))
-        if tables is not None:
-            (active_keys, h_start, h_count, r_start, r_count,
-             hits_sorted, rays_sorted) = tables
-            T = len(active_keys)
-            if T == 0:
-                return
-        else:  # numpy fallback (no native toolchain)
-            ht_coords, ht_idx = _halo_blocks(td.hits.astype(np.float64) + shift, ts, halo)
-            st_coords, st_idx = _halo_blocks(td.samples.astype(np.float64) + shift, ts, halo)
-
-            ht_keys = geo.pack_key(ht_coords)
-            st_keys = geo.pack_key(st_coords)
-            # dedup (tile, ray) pairs via lexsort — np.unique(axis=0)'s
-            # void-dtype sort costs ~9× more on these ~100k-row tables
-            st_rays = td.sample_ray[st_idx]
-            order = np.lexsort((st_rays, st_keys))
-            sk, sr = st_keys[order], st_rays[order]
-            keep = np.empty(len(sk), bool)
-            if len(sk):
-                keep[0] = True
-                keep[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
-            ray_pairs = np.stack([sk[keep], sr[keep]], 1) if len(sk) \
-                else np.zeros((0, 2), np.int64)
-
-            active_keys = np.unique(np.concatenate([ht_keys, ray_pairs[:, 0]]))
-            T = len(active_keys)
-            if T == 0:
-                return
-
-            def segments(keys, payload):
-                """Sorted payload + per-active-tile (start,count)."""
-                order = np.argsort(keys, kind="stable")
-                ks, ps = keys[order], payload[order]
-                uk, st, ct = np.unique(ks, return_index=True, return_counts=True)
-                if len(uk) == 0:  # e.g. no hits when max_range ≤ 0 (ref :323-334)
-                    z = np.zeros(T, np.int64)
-                    return ps, z, z
-                pos = np.searchsorted(uk, active_keys)
-                pos = np.clip(pos, 0, max(len(uk) - 1, 0))
-                hit = (uk[pos] == active_keys) if len(uk) else np.zeros(T, bool)
-                return ps, np.where(hit, st[pos], 0), np.where(hit, ct[pos], 0)
-
-            hits_sorted, h_start, h_count = segments(ht_keys, ht_idx.astype(np.int32))
-            rays_sorted, r_start, r_count = segments(ray_pairs[:, 0],
-                                                     ray_pairs[:, 1].astype(np.int32))
 
         tile_coords = geo.unpack_key(active_keys)               # [T,3]
         tpa = self.tiles_per_axis
@@ -324,82 +404,118 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         pos = np.clip(pos, 0, max(len(cand_keys) - 1, 0))
         in_sweep = cand_keys[pos] == bk if len(cand_keys) else np.zeros(len(bk), bool)
         keep = (slots >= 0) & in_sweep
-        blk_coords, pos_id, slots = blk_coords[keep], pos_id[keep], slots[keep]
+        pos_id, slots = pos_id[keep], slots[keep]
         h_start, h_count = h_start[keep], h_count[keep]
         r_start, r_count = r_start[keep], r_count[keep]
         T = len(slots)
         if T == 0:
-            return
+            return None
+        centers = geo.block_center(blk_coords[keep], bs)        # [T,3]
 
-        centers = geo.block_center(blk_coords, bs)              # [T,3]
-        hit_n, ray_n = h_count, r_count
-        self.stats["kernel_evals"] += int((hit_n + ray_n).sum()) * self.Vt
-        self.stats["scans"] += 1
-
-        R = len(td.rays)
+        # merged tile-major entry id table: hits then rays per tile
         H = len(td.hits)
-        rays_dev = jnp.asarray(np.concatenate(
-            [td.rays, np.zeros((1, 6), np.float32)]))           # sentinel row
-        hits_dev = jnp.asarray(np.concatenate(
-            [td.hits, np.zeros((1, 3), np.float32)]))
+        mcount = (h_count + r_count).astype(np.int64)
+        mstart = np.concatenate([[0], np.cumsum(mcount)[:-1]])
+        ids = np.empty(int(mcount.sum()), np.int64)
+        hi_ = _intra(h_count)
+        ids[np.repeat(mstart, h_count) + hi_] = \
+            hits_sorted[np.repeat(h_start, h_count) + hi_]
+        ri_ = _intra(r_count)
+        ids[np.repeat(mstart + h_count, r_count) + ri_] = \
+            rays_sorted[np.repeat(r_start, r_count) + ri_].astype(np.int64) + H
+        return {"slots": slots, "pos_id": pos_id, "centers": centers,
+                "mcount": mcount, "ids": ids, "td": td}
 
-        # flat tile-sorted entry-id tables, shipped once per scan; padding
-        # points at the sentinel rows (monotone pow2 shapes)
-        fpads = _GLOBAL_PADS.setdefault(("LVflat", self.cfg), {"PR": 1024, "PH": 256})
-        fpads["PR"] = max(fpads["PR"], base.next_pow2(max(len(rays_sorted), 1024)))
-        fpads["PH"] = max(fpads["PH"], base.next_pow2(max(len(hits_sorted), 256)))
-        ray_ids_p = np.full(fpads["PR"], R, np.int32)
-        ray_ids_p[:len(rays_sorted)] = rays_sorted
-        hit_ids_p = np.full(fpads["PH"], H, np.int32)
-        hit_ids_p[:len(hits_sorted)] = hits_sorted
-        ray_ids_dev = jnp.asarray(ray_ids_p)
-        hit_ids_dev = jnp.asarray(hit_ids_p)
+    def _integrate_many(self, tds: list, tables: list | None = None) -> None:
+        cfg = self.cfg
+        if self.pool.capacity * self.V >= 2 ** 31:
+            raise ValueError("pool capacity × V overflows int32 flat addressing")
+        if tables is None:
+            tables = [None] * len(tds)
+        scans = [s for s in (self._scan_rows(td, tb)
+                             for td, tb in zip(tds, tables)) if s is not None]
+        if not scans:
+            return
+        W = _ROW_W
+
+        # global entries: per scan [hits as degenerate segments; rays]
+        ent_parts, lab_parts = [], []
+        base_off = []
+        off = 0
+        for s in scans:
+            td = s["td"]
+            H, R = len(td.hits), len(td.rays)
+            ent_parts.append(np.concatenate([td.hits, td.hits], axis=1))
+            ent_parts.append(td.rays)
+            lab_parts.append(np.ones(H, np.float32))
+            lab_parts.append(np.zeros(R, np.float32))
+            base_off.append(off)
+            off += H + R
+        entries = np.concatenate(ent_parts, axis=0).astype(np.float32)
+        labels = np.concatenate(lab_parts)
+
+        ids = np.concatenate([s["ids"] + b for s, b in zip(scans, base_off)])
+        slots = np.concatenate([s["slots"] for s in scans])
+        pos_id = np.concatenate([s["pos_id"] for s in scans])
+        centers = np.concatenate([s["centers"] for s in scans], axis=0)
+        mcount = np.concatenate([s["mcount"] for s in scans])
+        mstart = np.concatenate([[0], np.cumsum(mcount)[:-1]])
+        T = len(slots)
+
+        # fixed-width rows over each tile's merged entry list
+        nrows = (mcount + W - 1) // W
+        j = _intra(nrows)
+        row_tile = np.repeat(np.arange(T, dtype=np.int32), nrows)
+        row_start = (np.repeat(mstart, nrows) + j * W).astype(np.int32)
+        row_count = np.minimum(W, np.repeat(mcount, nrows) - j * W).astype(np.int32)
+
+        self.stats["kernel_evals"] += int(mcount.sum()) * self.Vt
+        self.stats["scans"] += len(scans)
+
+        # monotone pow2 pads shared across instances: stable executables
+        pad = _GLOBAL_PADS.setdefault((type(self).__name__, cfg),
+                                      {"E": 1024, "F": 16384, "R": 256, "T": 256})
+        pad["E"] = max(pad["E"], base.next_pow2(max(len(entries), 1024)))
+        pad["F"] = max(pad["F"], base.next_pow2(max(len(ids), 16384)))
+        pad["R"] = max(pad["R"], base.next_pow2(max(len(row_tile), _CHUNK)))
+        pad["T"] = max(pad["T"], base.next_pow2(max(T, 256)))
+        Ep, Fp, Rp, Tp = pad["E"], pad["F"], pad["R"], pad["T"]
+
+        ent_p = np.zeros((Ep, 6), np.float32)
+        ent_p[:len(entries)] = entries
+        lab_p = np.zeros(Ep, np.float32)
+        lab_p[:len(labels)] = labels
+        ids_p = np.zeros(Fp, np.int32)
+        ids_p[:len(ids)] = ids
+        rt_p = np.zeros(Rp, np.int32)
+        rt_p[:len(row_tile)] = row_tile
+        rs_p = np.zeros(Rp, np.int32)
+        rs_p[:len(row_start)] = row_start
+        rn_p = np.zeros(Rp, np.int32)          # count 0 ⇒ padding row
+        rn_p[:len(row_count)] = row_count
+        sl_p = np.full(Tp, self.pool.capacity, np.int32)
+        sl_p[:T] = slots
+        pi_p = np.zeros(Tp, np.int32)
+        pi_p[:T] = pos_id
+        ct_p = np.zeros((Tp, 3), np.float32)
+        ct_p[:T] = centers
 
         if not hasattr(self, "_dev_consts"):
             self._dev_consts = (jnp.asarray(self._tile_vox_map),
                                 jnp.asarray(self._vox_base))
         tvm_dev, vb_dev = self._dev_consts
 
-        total = np.maximum(hit_n, ray_n)
         Af = self.pool.fields["A"].reshape(-1)
         Bf = self.pool.fields["B"].reshape(-1)
         Tf = self.pool.touched.reshape(-1)
         Ef = self.pool.eff_level.reshape(-1)
-        prev = 0
-        for tier in _TIERS:
-            sel = np.nonzero((total > prev) & (total <= tier))[0] if prev \
-                else np.nonzero(total <= tier)[0]
-            prev = tier
-            if len(sel) == 0:
-                continue
-            pads = _GLOBAL_PADS.setdefault((type(self).__name__, self.cfg), {})
-            p = pads.setdefault(tier, {"T": 8})
-            p["T"] = max(p["T"], base.next_pow2(max(len(sel), 8)))
-            Tp, Rt, Ht = p["T"], tier, tier
-
-            slots_p = np.full(Tp, self.pool.capacity, np.int32)
-            pos_p = np.zeros(Tp, np.int32)
-            ctrs = np.zeros((Tp, 3), np.float32)
-            rs_p = np.zeros(Tp, np.int32)
-            rc_p = np.zeros(Tp, np.int32)
-            hs_p = np.zeros(Tp, np.int32)
-            hc_p = np.zeros(Tp, np.int32)
-            slots_p[:len(sel)] = slots[sel]
-            pos_p[:len(sel)] = pos_id[sel]
-            ctrs[:len(sel)] = centers[sel]
-            rs_p[:len(sel)] = r_start[sel]
-            rc_p[:len(sel)] = r_count[sel]
-            hs_p[:len(sel)] = h_start[sel]
-            hc_p[:len(sel)] = h_count[sel]
-
-            Af, Bf, Tf = _lv_tile_step(
-                Af, Bf, Tf, Ef,
-                jnp.asarray(slots_p), jnp.asarray(pos_p), jnp.asarray(ctrs),
-                tvm_dev, vb_dev, rays_dev, hits_dev,
-                ray_ids_dev, jnp.asarray(rs_p), jnp.asarray(rc_p),
-                hit_ids_dev, jnp.asarray(hs_p), jnp.asarray(hc_p),
-                V=self.V, Rt=Rt, Ht=Ht, sf2=cfg.sf2, ell=cfg.ell,
-                free_res=self._last_free_res, gate=self.GATE)
+        Af, Bf, Tf = _lv_rows_step(
+            Af, Bf, Tf, Ef, tvm_dev, vb_dev,
+            jnp.asarray(ent_p), jnp.asarray(lab_p), jnp.asarray(ids_p),
+            jnp.asarray(rt_p), jnp.asarray(rs_p), jnp.asarray(rn_p),
+            jnp.asarray(sl_p), jnp.asarray(pi_p), jnp.asarray(ct_p),
+            V=self.V, W=W, chunk=_CHUNK, sf2=cfg.sf2, ell=cfg.ell,
+            free_res=self._last_free_res, gate=self.GATE)
 
         self.pool.fields["A"] = Af.reshape(self.pool.capacity, self.V)
         self.pool.fields["B"] = Bf.reshape(self.pool.capacity, self.V)

@@ -53,32 +53,53 @@ class StaticRunResult:
 
 def run_static(cfg: MapConfig, ds: DatasetConfig,
                progress: Optional[Callable[[int, float], None]] = None,
-               block_per_scan: bool = False, map_obj=None) -> StaticRunResult:
+               block_per_scan: bool = False, map_obj=None,
+               batch_scans: bool = True) -> StaticRunResult:
     """Run the offline scan-sequence demo; returns the map + timings.
 
-    By default the device work is left asynchronous between scans (the host
+    When the map family supports multi-scan batched integration
+    (``insert_pointclouds``) and per-scan observation isn't requested, the
+    whole sequence is preprocessed (thread-parallel) and integrated in one
+    device dispatch — semantically equivalent to the sequential loop for
+    prune-free configs (the family falls back internally otherwise).
+    Otherwise the device work is left asynchronous between scans (the host
     pipelines scan t+1's preprocessing against scan t's update) and only the
     final state is synchronized — total_seconds is end-to-end wall clock.
     """
     m = map_obj if map_obj is not None else build_map(cfg)
     per_scan = []
     t0 = time.perf_counter()
-    for i in range(1, ds.scan_num + 1):
-        cloud, origin = load_pcd(os.path.join(ds.dir, f"{ds.prefix}_{i}.pcd"))
-        t1 = time.perf_counter()
+    batched = batch_scans and not block_per_scan and progress is None \
+        and hasattr(m, "insert_pointclouds")
+    if batched:
+        clouds, origins = [], []
+        for i in range(1, ds.scan_num + 1):
+            cloud, origin = load_pcd(os.path.join(ds.dir, f"{ds.prefix}_{i}.pcd"))
+            clouds.append(cloud)
+            origins.append(origin)
         # static nodes pass `resolution` as ds_resolution (static_node.cpp:95)
-        m.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
-                            free_resolution=cfg.free_resolution, max_range=ds.max_range)
-        if block_per_scan:
-            for arr in m.pool.fields.values():
-                arr.block_until_ready()
-        dt = time.perf_counter() - t1
-        per_scan.append(dt)
-        if progress:
-            progress(i, dt)
+        m.insert_pointclouds(clouds, origins, ds_resolution=cfg.resolution,
+                             free_resolution=cfg.free_resolution,
+                             max_range=ds.max_range)
+    else:
+        for i in range(1, ds.scan_num + 1):
+            cloud, origin = load_pcd(os.path.join(ds.dir, f"{ds.prefix}_{i}.pcd"))
+            t1 = time.perf_counter()
+            m.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
+                                free_resolution=cfg.free_resolution,
+                                max_range=ds.max_range)
+            if block_per_scan:
+                for arr in m.pool.fields.values():
+                    arr.block_until_ready()
+            dt = time.perf_counter() - t1
+            per_scan.append(dt)
+            if progress:
+                progress(i, dt)
     for arr in m.pool.fields.values():
         arr.block_until_ready()
     total = time.perf_counter() - t0
+    if batched:
+        per_scan = [total / max(ds.scan_num, 1)] * ds.scan_num
     return StaticRunResult(map=m, per_scan_seconds=per_scan, total_seconds=total)
 
 

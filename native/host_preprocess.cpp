@@ -265,6 +265,151 @@ int lv_tile_tables(const float* hits, int H,
   return 0;
 }
 
+// LV tile tables from ray SEGMENTS (no proxy-sample materialization).
+//
+// The device kernel re-tests exact per-voxel membership (interval arithmetic
+// over the beam's sample grid — la3dm_tpu/models/bgklv.py::_ray_membership),
+// so the host table only has to be a SUPERSET of the sample-based candidate
+// set.  Every proxy sample lies on its ray segment, hence the union of
+// halo-expanded tile boxes touched by the segment covers them all; a tiny
+// halo inflation (+1e-5) absorbs float32 sample-vs-double-segment roundoff.
+//
+// Per ray: event-walk the box [floor((p−halo')/ts), floor((p+halo')/ts)] as p
+// moves a→b.  Per axis the bounds move monotonically, so each tile enters the
+// box at most once — cells are emitted exactly once (initial box, then the
+// new 1-cell-thick slab at each leading-bound crossing).  ~50 emissions per
+// ray instead of ~300 sample-expansion pairs, and no (tile, ray) dedup pass.
+int lv_tile_tables_ray(const float* hits, int H,
+                       const float* rays, int R,
+                       double ts, double halo, double shift,
+                       int64_t* tile_keys, int32_t* h_start, int32_t* h_count,
+                       int32_t* r_start, int32_t* r_count,
+                       int32_t* hits_flat, int32_t* rays_flat,
+                       int max_tiles, int max_hits_flat, int max_rays_flat,
+                       int* n_tiles, int* n_hits_flat, int* n_rays_flat) {
+  auto key_of = [](int64_t x, int64_t y, int64_t z) {
+    return ((x + 524288) << 40) | ((y + 524288) << 20) | (z + 524288);
+  };
+  const double halo_e = halo + 1e-5;
+
+  std::vector<std::pair<int64_t, int32_t>> hp, rp;
+  hp.reserve((size_t)H * 8);
+  rp.reserve((size_t)R * 64);
+  for (int i = 0; i < H; ++i) {
+    const float* p = hits + 3 * i;
+    int64_t lo[3], hi[3];
+    for (int ax = 0; ax < 3; ++ax) {
+      const double v = (double)p[ax] + shift;
+      lo[ax] = (int64_t)std::floor((v - halo) / ts);
+      hi[ax] = (int64_t)std::floor((v + halo) / ts);
+    }
+    for (int64_t x = lo[0]; x <= hi[0]; ++x)
+      for (int64_t y = lo[1]; y <= hi[1]; ++y)
+        for (int64_t z = lo[2]; z <= hi[2]; ++z)
+          hp.emplace_back(key_of(x, y, z), i);
+  }
+
+  for (int i = 0; i < R; ++i) {
+    const float* s = rays + 6 * i;
+    double a[3], d[3];
+    for (int ax = 0; ax < 3; ++ax) {
+      a[ax] = (double)s[ax] + shift;
+      d[ax] = (double)s[ax + 3] - (double)s[ax];
+    }
+    // current box bounds at t=0 and the leading-bound crossing schedule
+    int64_t lo[3], hi[3];
+    double next_t[3];   // t of the next leading-bound crossing per axis
+    double step_t[3];   // t between crossings
+    for (int ax = 0; ax < 3; ++ax) {
+      lo[ax] = (int64_t)std::floor((a[ax] - halo_e) / ts);
+      hi[ax] = (int64_t)std::floor((a[ax] + halo_e) / ts);
+      if (d[ax] > 0) {
+        // hi grows: crossing when a+halo'+d·t reaches (hi+1)·ts
+        next_t[ax] = ((double)(hi[ax] + 1) * ts - (a[ax] + halo_e)) / d[ax];
+        step_t[ax] = ts / d[ax];
+      } else if (d[ax] < 0) {
+        // lo shrinks: crossing when a−halo'+d·t reaches lo·ts
+        next_t[ax] = ((double)lo[ax] * ts - (a[ax] - halo_e)) / d[ax];
+        step_t[ax] = ts / -d[ax];
+      } else {
+        next_t[ax] = 2.0;  // never
+        step_t[ax] = 0.0;
+      }
+    }
+    // initial box
+    for (int64_t x = lo[0]; x <= hi[0]; ++x)
+      for (int64_t y = lo[1]; y <= hi[1]; ++y)
+        for (int64_t z = lo[2]; z <= hi[2]; ++z)
+          rp.emplace_back(key_of(x, y, z), i);
+    // walk events in t order; at each, advance one axis's leading bound and
+    // emit the newly included slab; advance the trailing bound lazily (it
+    // only shrinks the box — no new cells)
+    for (;;) {
+      int ax = 0;
+      if (next_t[1] < next_t[ax]) ax = 1;
+      if (next_t[2] < next_t[ax]) ax = 2;
+      const double t = next_t[ax];
+      if (t > 1.0) break;
+      int64_t slab;
+      if (d[ax] > 0) slab = ++hi[ax];
+      else slab = --lo[ax];
+      // trailing bounds of the OTHER axes at time t (shrink lazily so the
+      // emitted slab never includes cells already out of the box)
+      int64_t olo[3], ohi[3];
+      for (int o = 0; o < 3; ++o) {
+        olo[o] = lo[o]; ohi[o] = hi[o];
+        if (o == ax) continue;
+        const double p_o = a[o] + d[o] * t;
+        if (d[o] > 0) {
+          int64_t l2 = (int64_t)std::floor((p_o - halo_e) / ts);
+          if (l2 > olo[o]) olo[o] = l2;
+        } else if (d[o] < 0) {
+          int64_t h2 = (int64_t)std::floor((p_o + halo_e) / ts);
+          if (h2 < ohi[o]) ohi[o] = h2;
+        }
+      }
+      olo[ax] = ohi[ax] = slab;
+      for (int64_t x = olo[0]; x <= ohi[0]; ++x)
+        for (int64_t y = olo[1]; y <= ohi[1]; ++y)
+          for (int64_t z = olo[2]; z <= ohi[2]; ++z)
+            rp.emplace_back(key_of(x, y, z), i);
+      next_t[ax] += step_t[ax];
+    }
+  }
+
+  std::sort(hp.begin(), hp.end());
+  std::sort(rp.begin(), rp.end());
+  rp.erase(std::unique(rp.begin(), rp.end()), rp.end());  // safety: FP twins
+
+  size_t ih = 0, ir = 0;
+  int ta = 0, nh = 0, nr = 0;
+  while (ih < hp.size() || ir < rp.size()) {
+    int64_t k;
+    if (ih >= hp.size()) k = rp[ir].first;
+    else if (ir >= rp.size()) k = hp[ih].first;
+    else k = std::min(hp[ih].first, rp[ir].first);
+    if (ta >= max_tiles) return -1;
+    tile_keys[ta] = k;
+    h_start[ta] = nh;
+    while (ih < hp.size() && hp[ih].first == k) {
+      if (nh >= max_hits_flat) return -1;
+      hits_flat[nh++] = hp[ih++].second;
+    }
+    h_count[ta] = nh - h_start[ta];
+    r_start[ta] = nr;
+    while (ir < rp.size() && rp[ir].first == k) {
+      if (nr >= max_rays_flat) return -1;
+      rays_flat[nr++] = rp[ir++].second;
+    }
+    r_count[ta] = nr - r_start[ta];
+    ++ta;
+  }
+  *n_tiles = ta;
+  *n_hits_flat = nh;
+  *n_rays_flat = nr;
+  return 0;
+}
+
 // voxel-grid downsample (shared helper; out sorted z-major)
 int voxel_downsample(const float* pts, int n, float leaf, float* out, int max_out) {
   std::vector<V3> o;

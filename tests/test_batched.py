@@ -1,0 +1,75 @@
+"""Multi-scan batched integration == sequential per-scan integration.
+
+The batched path (``insert_pointclouds``) claims exactness up to float32
+sum reassociation for prune-free configs: Beta updates are additive
+scatter-adds gated per (scan, voxel) (bgklvoctomap.cpp:236-238, :271-272).
+These tests integrate the same real scans both ways and compare the full
+pool state.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import reference_scan
+
+
+def _scans(n, dataset="sim_structured"):
+    return [reference_scan(dataset, i) for i in range(1, n + 1)]
+
+
+def _pool_state(m):
+    slots = m.pool.active_slots()
+    keys = {tuple(c): i for i, c in enumerate(m.pool.coords[slots])}
+    fields = {k: np.asarray(v)[slots] for k, v in m.pool.fields.items()}
+    fields["touched"] = np.asarray(m.pool.touched)[slots]
+    return keys, fields
+
+
+def _compare(m_seq, m_bat, atol):
+    k1, f1 = _pool_state(m_seq)
+    k2, f2 = _pool_state(m_bat)
+    assert set(k1) == set(k2)
+    order1 = [k1[c] for c in sorted(k1)]
+    order2 = [k2[c] for c in sorted(k2)]
+    for name in f1:
+        a = f1[name][order1].astype(np.float64)
+        b = f2[name][order2].astype(np.float64)
+        dev = np.abs(a - b).max()
+        assert dev <= atol, f"{name}: max dev {dev}"
+
+
+def test_bgklv_batched_equals_sequential():
+    from la3dm_tpu.models.bgklv import BGKLVOctoMap
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = load_method_config("bgklv")
+    scans = _scans(3)
+    m_seq = BGKLVOctoMap(cfg)
+    for cloud, origin in scans:
+        m_seq.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
+                                max_range=6.0)
+    m_bat = BGKLVOctoMap(cfg)
+    m_bat.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                             ds_resolution=cfg.resolution, max_range=6.0)
+    # identical kernel values, reassociated sums only
+    _compare(m_seq, m_bat, atol=5e-4)
+
+
+def test_bgklv_batched_original_size_fallback():
+    """original_size ⇒ pruning between scans ⇒ batched must fall back and
+    remain bit-identical to the sequential loop."""
+    import dataclasses
+
+    from la3dm_tpu.models.bgklv import BGKLVOctoMap
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = dataclasses.replace(load_method_config("bgklv"), original_size=True)
+    scans = _scans(2)
+    m_seq = BGKLVOctoMap(cfg)
+    for cloud, origin in scans:
+        m_seq.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
+                                max_range=6.0)
+    m_bat = BGKLVOctoMap(cfg)
+    m_bat.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                             ds_resolution=cfg.resolution, max_range=6.0)
+    _compare(m_seq, m_bat, atol=0.0)

@@ -73,3 +73,35 @@ def test_native_tile_tables_match_numpy(rng):
         np.testing.assert_array_equal(
             np.sort(rf[rs[t]:rs[t] + rc[t]]),
             np.unique(sr[keep][sk[keep] == keys[t]]), err_msg=f"tile {t} rays")
+
+
+def test_ray_walk_tables_superset_of_sample_tables():
+    """lv_tile_tables_ray must cover every (tile, ray) and (tile, hit) pair of
+    the proxy-sample tables — the device re-tests exact membership, so a
+    superset is exact; a miss would silently drop updates."""
+    import numpy as np
+    import pytest
+
+    from la3dm_tpu.geometry import native
+    from tests.conftest import reference_scan
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cloud, origin = reference_scan("sim_structured", 1)
+    td = native.lv_training_data(cloud, origin, 0.1, 0.3, 6.0, 0.2)
+    ts, halo, shift = 0.8, 0.2, 0.8
+    samp = native.lv_tile_tables(td.hits, td.samples, td.sample_ray, ts, halo, shift)
+    walk = native.lv_tile_tables_ray(td.hits, td.rays, ts, halo, shift)
+
+    def pairs(tables, col):
+        keys, hs, hc, rs, rc, hf, rf = tables
+        start, count, flat = (hs, hc, hf) if col == "h" else (rs, rc, rf)
+        out = set()
+        for t, k in enumerate(keys):
+            for j in range(count[t]):
+                out.add((int(k), int(flat[start[t] + j])))
+        return out
+
+    assert pairs(samp, "h") == pairs(walk, "h")      # hit path is identical
+    missing = pairs(samp, "r") - pairs(walk, "r")
+    assert not missing, f"{len(missing)} sample pairs missing from ray walk"
