@@ -142,6 +142,48 @@ def level_offsets(resolution: float, block_depth: int, level: int) -> np.ndarray
     return anc[perm >> (3 * level)]
 
 
+def all_level_nodes(resolution: float, block_depth: int) -> tuple[np.ndarray, np.ndarray]:
+    """Every octree node's center offset + the (level, leaf voxel) → node map.
+
+    Returns:
+      nodes: [Vall, 3] f32 — node-center offsets from the block center for
+        ALL levels, level 0 (base leaves, raster order) first, then level 1's
+        (n/2)³ nodes in group-raster order, ..., up to the block root.
+        Vall = Σ_L (n >> L)³.
+      node_idx: [L, n³] int32 — node_idx[L, v] is the row in ``nodes`` of
+        base voxel v's level-L ancestor (node_idx[0] is the identity).
+
+    Evaluating kernels at all node positions up front makes the hot predict
+    pass independent of pruning state: the per-scan update just *selects*
+    each voxel's current eff-level node value (the reference updates pruned
+    leaves at their coarser node centers, bgkoctomap.cpp:309-336 via the
+    leaf iterator).
+    """
+    n = 1 << (block_depth - 1)
+    V = n ** 3
+    nodes_parts: list[np.ndarray] = []
+    idx_rows: list[np.ndarray] = []
+    base_off = 0
+    vox = np.arange(V)
+    vx, vy, vz = vox % n, (vox // n) % n, vox // (n * n)
+    for L in range(block_depth):
+        m = n >> L
+        # per-level offsets replicated per base voxel (level_offsets) → one
+        # row per node, picked via each node's minimum-corner base voxel
+        rep = level_offsets(resolution, block_depth, L)  # [V,3]
+        gx, gy, gz = vx >> L, vy >> L, vz >> L
+        gid = (gx + gy * m + gz * m * m).astype(np.int64)
+        first = np.zeros(m ** 3, np.int64)
+        # minimum-corner representative: raster order ⇒ first occurrence
+        seen_order = np.unique(gid, return_index=True)[1]
+        first[gid[seen_order]] = seen_order
+        nodes_parts.append(rep[first])
+        idx_rows.append((gid + base_off).astype(np.int32))
+        base_off += m ** 3
+    return (np.concatenate(nodes_parts, axis=0).astype(np.float32),
+            np.stack(idx_rows, axis=0))
+
+
 def point_block_memberships(points: np.ndarray, block_size: float) -> tuple[np.ndarray, np.ndarray]:
     """All (block, point) incidences under the reference's closed-box query.
 

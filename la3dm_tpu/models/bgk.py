@@ -1,20 +1,32 @@
 """BGKOctoMap — Bayesian generalized kernel inference with Beta posteriors.
 
 TPU-native re-design of the reference BGK family pipeline
-(``src/bgkoctomap/bgkoctomap.cpp:214-366``): the per-scan
-training→prediction→update→prune phases become
+(``src/bgkoctomap/bgkoctomap.cpp:214-366``), built as a **two-pass row
+engine** so whole scan *sequences* integrate in one device dispatch:
 
-  host:   scan → training points (geometry/preprocess) → sort by block +
-          (start,count) neighbor tables (a few hundred KB shipped)
-  device: gather the per-test-block neighborhood, then one fused batched
-          kernel: distance → sparse kernel → per-slot (ȳ, k̄) matvec →
-          gated Beta update → scatter into the pool → dense prune —
-          all in a single dispatch per scan.
+  host:   scans → training entries (geometry/preprocess) → per-block
+          neighbor tables (bucketing) → fixed-width entry rows
+  device: HEAVY pass — every (row × node) kernel product, evaluated at ALL
+          octree-level node centers of the row's test block, accumulated
+          per (scan, block, neighbor-slot); LIGHT pass — lax.scan over
+          scans applying the per-model k̄ gate, the Beta update, and the
+          per-scan prune, selecting each voxel's value at its current
+          eff-level node.
+
+Evaluating all node levels up front (a (1 + 1/8 + …) ≈ 1.14× overhead)
+decouples the hot kernel pass from pruning state entirely: the reference
+updates a pruned leaf at its coarser node center (bgkoctomap.cpp:309-336
+via the leaf iterator), and the light pass reproduces that exactly by
+indexing the precomputed node values with the carried eff levels.  Per-scan
+semantics — per-neighbor-model gating (``k̄ > 0``, bgkoctomap.cpp:332) and
+prune-between-scans (:344-353) — are preserved bit-for-bit up to f32 sum
+reassociation.
 """
 
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax
@@ -22,132 +34,139 @@ import jax.numpy as jnp
 
 from la3dm_tpu.geometry import blocks as geo, preprocess
 from la3dm_tpu.kernels import math as km
-from la3dm_tpu.kernels import pallas_ops
 from la3dm_tpu.kernels import predict as kp
 from la3dm_tpu.models import base, bucketing, posterior
 from la3dm_tpu.utils.config import MapConfig
 
-# neighborhood-size tiers for the tiered path: per-block training totals are
-# extremely skewed (blocks near the sensor collect thousands of free entries,
-# the median block a few dozen), so when totals are large, padding every
-# block to the max wastes >50× the kernel evals
-_TIERS = (128, 512, 2048, 8192, 32768)
-
-# Dispatch policy: per-scan time is dispatch/transfer-latency-bound over the
-# tunneled TPU until padded compute dominates.  Below this padded-eval count
-# a single fused dispatch wins (measured crossover on the v5 chip: the dense
-# kernel sustains ~5G padded evals/s, a dispatch costs ~5 ms); above it,
-# tier the blocks and pay one dispatch per tier.
-_SINGLE_DISPATCH_MAX = 100_000_000
-_DISPATCH_EVALS = 16_000_000  # padded-eval cost equivalent of an extra dispatch
+#: fixed entry-row width; per-block entry lists are cut into rows of W —
+#: one executable for every workload size (totals are extremely skewed:
+#: blocks near the sensor collect thousands of entries, the median a few
+#: dozen, so per-block padding-to-max wastes >50× the kernel evals)
+_ROW_W = 64
+#: heavy-pass chunk: bounds the [chunk, Vall, W] kernel live set
+_CHUNK = 64
 
 # monotone pad sizes shared across map instances with the same config, so a
 # fresh map starts at the converged shapes (and reuses executables)
 _GLOBAL_PADS: dict = {}
 
 
-def _tier_chunk(S: int) -> int:
-    """lax.map chunk size: bounds the [chunk,V,S] kernel intermediate."""
-    return min(32, max(1, 16384 // S))
-
-
-def _gather_rows(starts, counts, S):
-    """Device-side ragged gather plan: [B,G] segments → [B,S] (idx, slot, valid).
-
-    Row b concatenates its G neighbor segments; entry s of the row maps to
-    source index ``starts[b,g] + (s − off[b,g])`` for the g whose segment
-    covers s.
-    """
-    G = starts.shape[1]
-    off = jnp.concatenate(
-        [jnp.zeros_like(counts[:, :1]), jnp.cumsum(counts[:, :-1], axis=1)], axis=1)
-    scol = jnp.arange(S, dtype=jnp.int32)[None, :]
-    idx = jnp.zeros(starts.shape[:1] + (S,), jnp.int32)
-    slot = jnp.zeros_like(idx)
-    valid = jnp.zeros(idx.shape, bool)
-    for g in range(G):
-        rel = scol - off[:, g:g + 1]
-        in_g = (rel >= 0) & (rel < counts[:, g:g + 1])
-        idx = jnp.where(in_g, starts[:, g:g + 1] + rel, idx)
-        slot = jnp.where(in_g, g, slot)
-        valid = valid | in_g
-    return idx, slot, valid
+def _intra(counts: np.ndarray) -> np.ndarray:
+    """[sum(counts)] int64: 0..c−1 within each group, groups in order."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "num_slots", "sf2", "ell", "gate", "n", "max_level",
-                     "segments", "state_fn", "do_prune", "chunk_b", "pallas"),
+    static_argnames=("W", "chunk", "G", "sf2", "ell", "gate", "n",
+                     "max_level", "segments", "state_fn", "do_prune",
+                     "scan_bt"),
     donate_argnames=("A", "Bv", "touched", "eff"),
 )
-def _bgk_update_step(A, Bv, touched, eff, level_tab, slots, centers,
-                     entries, labels, starts, counts,
-                     S: int, num_slots: int, sf2: float, ell: float, gate: float,
-                     n: int, max_level: int, segments: bool,
-                     state_fn=None, do_prune: bool = False, chunk_b: int = 32,
-                     pallas: bool = False):
-    """One scan: device gather + prediction + Beta update + prune, one dispatch.
+def _bgk_seq_step(A, Bv, touched, eff, all_nodes, node_idx_tab,
+                  entries, labels, ids_flat, gslot_flat,
+                  row_block, row_start, row_count,
+                  slots_flat, centers_flat, scan_start, scan_count,
+                  W: int, chunk: int, G: int, sf2: float, ell: float,
+                  gate: float, n: int, max_level: int, segments: bool,
+                  state_fn=None, do_prune: bool = False, scan_bt: int = 256):
+    """K scans in one dispatch: flat heavy pass + per-scan light pass.
 
-    ``slots`` int32 [B] pool slots (== pool.capacity ⇒ padding row, dropped by
-    the scatter); ``entries`` [N,D] sorted by block; ``starts``/``counts``
-    [B,G].  World-frame coordinates throughout (kernel parity).
+    Heavy: rows (fixed width W) over each (scan, test block)'s merged
+    neighbor entry list; kernel K[Vall, W] at ALL node levels × one-hot
+    slot RHS [W, 2G] → per-block (ȳ_g, k̄_g) accumulated at ``row_block``.
+    Light: lax.scan over scans — per-model gate (kbar_g > gate), Beta
+    deltas selected at each voxel's eff-level node, pool scatter, prune.
+
+    Shapes: entries [Np,D] (all scans), ids_flat/gslot_flat [Fp] tile-major
+    merged entry ids + their neighbor-slot, row_* [Rp] (count 0 ⇒ padding),
+    slots_flat/centers_flat [Tp] stacked per-scan block lists (slot ==
+    pool capacity ⇒ padding), scan_start/scan_count [K] segments into them.
     """
-    idx, pslots, pvalid = _gather_rows(starts, counts, S)     # [B,S]
-    eff_b = eff[jnp.minimum(slots, eff.shape[0] - 1)]          # [B,V]
-    off = jnp.take_along_axis(
-        level_tab[None], eff_b[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]
-    vox = off + centers[:, None, :]                            # [B,V,3]
+    F = ids_flat.shape[0]
+    Rp = row_block.shape[0]
+    Tp = slots_flat.shape[0]
+    Vall = all_nodes.shape[0]
+    V = node_idx_tab.shape[1]
+    cap = eff.shape[0] - 1  # pool arrays are [capacity, V]; clamp gathers
 
-    B = slots.shape[0]
-    if pallas:
-        from la3dm_tpu.kernels import pallas_ops
+    wcol = jnp.arange(W, dtype=jnp.int32)[None, :]
 
-        en = entries[idx]                                      # [B,S,D]
-        lb = labels[idx]
-        ybar, kbar = pallas_ops.bgk_predict_pallas(
-            vox, en, lb, pslots, pvalid, num_slots, sf2, ell, segments=segments)
-        dA, dB, tch = kp.beta_update(ybar, kbar, gate)
-    else:
-        def chunk_fn(args):
-            vx, ix, sl, va = args
-            en = entries[ix]                                   # [b,S,D]
-            lb = labels[ix]
-            def one(v, e, l, s, m):
-                if segments:
-                    K = km.cov_sparse_segment(v, e, sf2, ell, lv=False)
-                else:
-                    K = km.cov_sparse(v, e, sf2, ell)
-                K = jnp.where(m[None, :], K, 0.0)
-                rhs = kp._slot_rhs(l, s, m, num_slots)
-                out = jnp.dot(K, rhs, preferred_element_type=jnp.float32)
-                return out[:, :num_slots], out[:, num_slots:]
-            ybar, kbar = jax.vmap(one)(vx, en, lb, sl, va)
-            return kp.beta_update(ybar, kbar, gate)
+    # ---- heavy pass: all rows, chunked lax.scan carrying the accumulator
+    acc = jnp.zeros((Tp, Vall, 2 * G), jnp.float32)
 
-        nchunk = B // chunk_b
+    def heavy_chunk(acc, xs):
+        blk_c, st_c, ct_c = xs                                  # [c],[c],[c]
+        fidx = jnp.minimum(st_c[:, None] + wcol, F - 1)         # [c,W]
+        ids = ids_flat[fidx]
+        gs = gslot_flat[fidx]
+        val = wcol < ct_c[:, None]
+        ent = entries[ids]                                      # [c,W,D]
+        lab = labels[ids]
+        ctr = centers_flat[jnp.minimum(blk_c, Tp - 1)]          # [c,3]
+        vox = all_nodes[None] + ctr[:, None, :]                 # [c,Vall,3]
 
-        def rc(x):
-            return x.reshape(nchunk, chunk_b, *x.shape[1:])
+        def one(v, e, l, g, m):
+            if segments:
+                Km = km.cov_sparse_segment(v, e, sf2, ell, lv=False)
+            else:
+                Km = km.cov_sparse(v, e, sf2, ell)
+            Km = jnp.where(m[None, :], Km, 0.0)                 # [Vall,W]
+            rhs = kp._slot_rhs(l, g, m, G)                      # [W,2G]
+            return jnp.dot(Km, rhs, preferred_element_type=jnp.float32)
 
-        dA, dB, tch = jax.lax.map(
-            chunk_fn, tuple(rc(x) for x in (vox, idx, pslots, pvalid)))
-        dA, dB, tch = (x.reshape(B, -1) for x in (dA, dB, tch))
+        out = jax.vmap(one)(vox, ent, lab, gs, val)             # [c,Vall,2G]
+        return acc.at[blk_c].add(out, mode="drop"), None
 
-    A = A.at[slots].add(dA, mode="drop")
-    Bv = Bv.at[slots].add(dB, mode="drop")
-    touched = touched.at[slots].max(tch, mode="drop")
+    nchunk = Rp // chunk
 
-    if do_prune:
-        from la3dm_tpu.models import pruning
+    def rc(x):
+        return x.reshape(nchunk, chunk)
 
-        safe = jnp.minimum(slots, eff.shape[0] - 1)
-        vals = {"A": A[safe], "B": Bv[safe], "touched": touched[safe].astype(jnp.float32)}
-        new_vals, new_eff = pruning.prune_blocks(vals, eff[safe], n=n,
-                                                 max_level=max_level, state_fn=state_fn)
-        A = A.at[slots].set(new_vals["A"], mode="drop")
-        Bv = Bv.at[slots].set(new_vals["B"], mode="drop")
-        touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
-        eff = eff.at[slots].set(new_eff, mode="drop")
+    acc, _ = jax.lax.scan(heavy_chunk, acc,
+                          (rc(row_block), rc(row_start), rc(row_count)))
+
+    # ---- light pass: per-scan gate + Beta update + prune
+    vcol = jnp.arange(V, dtype=jnp.int32)
+    brow = jnp.arange(scan_bt, dtype=jnp.int32)
+
+    def light_step(carry, xs):
+        A, Bv, touched, eff = carry
+        start, count = xs
+        bidx = jnp.minimum(start + brow, Tp - 1)
+        mask = brow < count
+        slots_k = jnp.where(mask, slots_flat[bidx], cap + 1)    # sentinel pad
+        accb = acc[bidx]                                        # [Bt,Vall,2G]
+        dAall, dBall, tchall = kp.beta_update(
+            accb[..., :G], accb[..., G:], gate)                 # [Bt,Vall]
+        eff_b = eff[jnp.minimum(slots_k, cap)]                  # [Bt,V]
+        nidx = node_idx_tab[eff_b.astype(jnp.int32), vcol[None, :]]  # [Bt,V]
+        dA = jnp.take_along_axis(dAall, nidx, axis=1)
+        dB = jnp.take_along_axis(dBall, nidx, axis=1)
+        tch = jnp.take_along_axis(tchall, nidx, axis=1)
+        A = A.at[slots_k].add(dA, mode="drop")
+        Bv = Bv.at[slots_k].add(dB, mode="drop")
+        touched = touched.at[slots_k].max(tch, mode="drop")
+        if do_prune:
+            from la3dm_tpu.models import pruning
+
+            safe = jnp.minimum(slots_k, cap)
+            vals = {"A": A[safe], "B": Bv[safe],
+                    "touched": touched[safe].astype(jnp.float32)}
+            new_vals, new_eff = pruning.prune_blocks(
+                vals, eff[safe], n=n, max_level=max_level, state_fn=state_fn)
+            A = A.at[slots_k].set(new_vals["A"], mode="drop")
+            Bv = Bv.at[slots_k].set(new_vals["B"], mode="drop")
+            touched = touched.at[slots_k].set(new_vals["touched"] > 0, mode="drop")
+            eff = eff.at[slots_k].set(new_eff, mode="drop")
+        return (A, Bv, touched, eff), None
+
+    (A, Bv, touched, eff), _ = jax.lax.scan(
+        light_step, (A, Bv, touched, eff), (scan_start, scan_count))
     return A, Bv, touched, eff
 
 
@@ -161,6 +180,20 @@ class BGKOctoMap(base.OccupancyMapBase):
         # prior pseudo-counts are the pool fill values (bgkoctree_node.h:33)
         return {"A": self.cfg.prior_A, "B": self.cfg.prior_B}
 
+    @property
+    def _all_nodes_host(self) -> np.ndarray:
+        if not hasattr(self, "_node_tab_cache"):
+            self._node_tab_cache = geo.all_level_nodes(
+                self.cfg.resolution, self.cfg.block_depth)
+        return self._node_tab_cache[0]
+
+    @property
+    def _node_idx_host(self) -> np.ndarray:
+        if not hasattr(self, "_node_tab_cache"):
+            self._node_tab_cache = geo.all_level_nodes(
+                self.cfg.resolution, self.cfg.block_depth)
+        return self._node_tab_cache[1]
+
     # ------------------------------------------------------------------ API
 
     def insert_pointcloud(self, cloud: np.ndarray, origin: np.ndarray,
@@ -168,116 +201,203 @@ class BGKOctoMap(base.OccupancyMapBase):
                           free_resolution: float | None = None,
                           max_range: float | None = None) -> None:
         """Integrate one scan (reference insert_pointcloud, bgkoctomap.cpp:214)."""
-        cfg = self.cfg
-        td = preprocess.bgk_training_data(
-            cloud, origin,
-            cfg.ds_resolution if ds_resolution is None else ds_resolution,
-            cfg.free_resolution if free_resolution is None else free_resolution,
-            cfg.max_range if max_range is None else max_range,
-            free_label=0.0)
-        if len(td.points) == 0:
-            return
-        self.insert_training_data(td.points, td.labels)
+        t = self._scan_tables(cloud, origin, ds_resolution, free_resolution,
+                              max_range)
+        self._integrate([t] if t is not None else [])
+
+    def insert_pointclouds(self, clouds, origins, ds_resolution=None,
+                           free_resolution=None, max_range=None) -> None:
+        """Integrate a scan *sequence* in one device dispatch.
+
+        Exact relative to the sequential loop (up to f32 sum reassociation):
+        the light pass scans over the sequence on device, applying each
+        scan's gate/update/prune in order.
+        """
+        def work(co):
+            return self._scan_tables(co[0], co[1], ds_resolution,
+                                     free_resolution, max_range)
+
+        with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
+            tables = [t for t in ex.map(work, zip(clouds, origins))
+                      if t is not None]
+        self._integrate(tables)
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
         """Integrate pre-labeled training points (bgkoctomap.cpp:82-212)."""
         points = points.astype(np.float32)
         coords, idx = geo.point_block_memberships(points, self.block_size)
-        tables = bucketing.bucket_tables(
-            coords, points[idx], labels.astype(np.float32)[idx], self._neighbor_offsets)
-        self._apply_tables(tables)
+        t = bucketing.bucket_tables(
+            coords, points[idx], labels.astype(np.float32)[idx],
+            self._neighbor_offsets)
+        self._integrate([t] if len(t.test_coords) else [])
 
     # ------------------------------------------------------------- internals
 
-    def _apply_tables(self, t: bucketing.BucketTables) -> None:
-        B = len(t.test_coords)
-        if B == 0:
-            return
-        self.stats["kernel_evals"] += int(t.counts.sum()) * self.V
-        self.stats["scans"] += 1
-        slots = self.pool.ensure(t.test_coords)
-        centers = self.block_centers(t.test_coords)
+    def _scan_entries(self, cloud, origin, ds, fr, mr):
+        """Scan → (block coords, entries [N,D], labels) or None if empty."""
+        td = preprocess.bgk_training_data(cloud, origin, ds, fr, mr,
+                                          free_label=0.0)
+        if len(td.points) == 0:
+            return None
+        points = td.points.astype(np.float32)
+        coords, idx = geo.point_block_memberships(points, self.block_size)
+        return coords, points[idx], td.labels.astype(np.float32)[idx]
+
+    def _scan_tables(self, cloud, origin, ds_resolution, free_resolution,
+                     max_range):
         cfg = self.cfg
-        G = t.starts.shape[1]
-        D = t.entries.shape[1]
-        totals = t.counts.sum(axis=1)
+        ent = self._scan_entries(
+            cloud, origin,
+            cfg.ds_resolution if ds_resolution is None else ds_resolution,
+            cfg.free_resolution if free_resolution is None else free_resolution,
+            cfg.max_range if max_range is None else max_range)
+        if ent is None:
+            return None
+        coords, entries, labels = ent
+        t = bucketing.bucket_tables(coords, entries, labels,
+                                    self._neighbor_offsets)
+        return t if len(t.test_coords) else None
 
-        # monotone pow2 padding: shapes only ever grow, so the jitted steps
-        # stabilize after the first scans (recompiles are expensive,
-        # especially with remote compilation over the TPU tunnel)
-        pad = _GLOBAL_PADS.setdefault((type(self).__name__, self.cfg),
-                                      {"N": 256, "B": 32, "S": 128, "tiers": {}})
-        pad["N"] = max(pad["N"], base.next_pow2(max(len(t.entries), 256)))
-        N_pad = pad["N"]
+    def _row_tables(self, t: bucketing.BucketTables):
+        """Merged per-block entry id list + fixed-width rows (host numpy).
 
-        entries = np.zeros((N_pad, D), np.float32)
-        entries[:len(t.entries)] = t.entries
-        labels = np.zeros(N_pad, np.float32)
-        labels[:len(t.labels)] = t.labels
-        entries_dev = jnp.asarray(entries)   # shipped once, shared by tiers
-        labels_dev = jnp.asarray(labels)
+        ids: [F] — for each test block, its G neighbor segments concatenated
+        (slot order; the reference trains one model per neighbor and updates
+        sequentially — Beta updates are additive so order is free, but the
+        per-model gate needs the slot id, carried in ``gslot``).
+        """
+        B, G = t.starts.shape
+        totals = t.counts.sum(axis=1).astype(np.int64)
+        F = int(totals.sum())
+        mstart = np.concatenate([[0], np.cumsum(totals)[:-1]])
+        lens = t.counts.reshape(-1).astype(np.int64)
+        starts_flat = t.starts.reshape(-1).astype(np.int64)
+        col_base = (mstart[:, None] + np.concatenate(
+            [np.zeros((B, 1), np.int64),
+             np.cumsum(t.counts, axis=1)[:, :-1]], axis=1)).reshape(-1)
+        ids = np.empty(F, np.int64)
+        gslot = np.empty(F, np.int8)
+        if F:
+            within = _intra(lens)
+            dst = np.repeat(col_base, lens) + within
+            ids[dst] = np.repeat(starts_flat, lens) + within
+            gslot[dst] = np.repeat((np.arange(B * G) % G).astype(np.int8), lens)
+        W = _ROW_W
+        nrows = np.maximum((totals + W - 1) // W, 0)
+        j = _intra(nrows)
+        row_block = np.repeat(np.arange(B, dtype=np.int64), nrows)
+        row_start = np.repeat(mstart, nrows) + j * W
+        row_count = np.minimum(W, np.repeat(totals, nrows) - j * W)
+        return ids, gslot, row_block, row_start.astype(np.int64), \
+            row_count.astype(np.int64), totals
 
-        # dispatch policy: single fused dispatch while padded compute is
-        # small; tier by neighborhood size once padding would explode
-        S1 = max(pad["S"], base.next_pow2(max(t.max_total, 128)))
-        # B rounds to 256 (not monotone pow2): a handful of executables, but
-        # ~40% less padded compute on typical scan-size variance
-        B1 = base.round_up(max(B, 32), max(256, _tier_chunk(S1)))
-        if B1 * S1 * self.V <= _SINGLE_DISPATCH_MAX:
-            pad["S"] = S1
-            parts = [(S1, B1, np.arange(B))]
-        else:
-            mx = int(totals.max())
-            cap = next((s for s in _TIERS if s >= mx), base.next_pow2(mx))
-            ladder = [s for s in _TIERS if s < cap] + [cap]
-            raw = []
-            prev = 0
-            for S in ladder:
-                sel = np.nonzero((totals > prev) & (totals <= S))[0]
-                prev = S
-                if len(sel):
-                    raw.append((S, sel))
-            # greedy merge: absorb a tier into the next whenever the padded
-            # evals saved don't pay for an extra dispatch
-            merged = [raw[0]]
-            for S, sel in raw[1:]:
-                S0, sel0 = merged[-1]
-                split = (len(sel0) * S0 + len(sel) * S) * self.V + _DISPATCH_EVALS
-                joint = (len(sel0) + len(sel)) * S * self.V
-                if joint <= split:
-                    merged[-1] = (S, np.concatenate([sel0, sel]))
-                else:
-                    merged.append((S, sel))
-            parts = []
-            for S, sel in merged:
-                chunk = _tier_chunk(S)
-                tp = pad["tiers"].setdefault(S, {"B": chunk})
-                tp["B"] = max(tp["B"],
-                              base.round_up(base.next_pow2(max(len(sel), chunk)), chunk))
-                parts.append((S, tp["B"], sel))
+    # kept name from round 1 (bgkl.py calls it): single-table integration
+    def _apply_tables(self, t: bucketing.BucketTables) -> None:
+        self._integrate([t] if len(t.test_coords) else [])
 
-        for S, B_pad, sel in parts:
-            starts = np.zeros((B_pad, G), np.int32)
-            starts[:len(sel)] = t.starts[sel]
-            counts = np.zeros((B_pad, G), np.int32)
-            counts[:len(sel)] = t.counts[sel]
-            slots_pad = np.full(B_pad, self.pool.capacity, np.int32)
-            slots_pad[:len(sel)] = slots[sel]
-            ctrs = np.zeros((B_pad, 3), np.float32)
-            ctrs[:len(sel)] = centers[sel]
+    def _integrate(self, tables: list) -> None:
+        """Integrate K scans' bucket tables in one device dispatch."""
+        if not tables:
+            return
+        cfg = self.cfg
+        W = _ROW_W
+        G = self.num_slots
+        D = tables[0].entries.shape[1]
+        Vall = self._all_nodes_host.shape[0]
 
-            (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-             self.pool.eff_level) = _bgk_update_step(
-                self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-                self.pool.eff_level, self._level_offsets,
-                jnp.asarray(slots_pad), jnp.asarray(ctrs),
-                entries_dev, labels_dev,
-                jnp.asarray(starts), jnp.asarray(counts),
-                S=S, num_slots=self.num_slots, sf2=cfg.sf2, ell=cfg.ell,
-                gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
-                segments=self.SEGMENTS, state_fn=self._state_fn,
-                do_prune=cfg.block_depth > 1, chunk_b=_tier_chunk(S),
-                pallas=pallas_ops.use_pallas(self.SEGMENTS))
+        ent_parts, lab_parts = [], []
+        ids_parts, gs_parts = [], []
+        rb_parts, rs_parts, rn_parts = [], [], []
+        slot_parts, ctr_parts = [], []
+        scan_start, scan_count = [], []
+        ent_off = 0
+        id_off = 0
+        blk_off = 0
+        for t in tables:
+            slots = self.pool.ensure(t.test_coords)
+            centers = self.block_centers(t.test_coords).astype(np.float32)
+            ids, gslot, row_block, row_start, row_count, totals = \
+                self._row_tables(t)
+            ent_parts.append(t.entries)
+            lab_parts.append(t.labels)
+            ids_parts.append(ids + ent_off)
+            gs_parts.append(gslot)
+            rb_parts.append(row_block + blk_off)
+            rs_parts.append(row_start + id_off)
+            rn_parts.append(row_count)
+            slot_parts.append(slots.astype(np.int32))
+            ctr_parts.append(centers)
+            scan_start.append(blk_off)
+            scan_count.append(len(slots))
+            ent_off += len(t.entries)
+            id_off += len(ids)
+            blk_off += len(slots)
+            self.stats["kernel_evals"] += int(totals.sum()) * Vall
+            self.stats["scans"] += 1
+
+        entries = np.concatenate(ent_parts, axis=0)
+        labels = np.concatenate(lab_parts)
+        ids = np.concatenate(ids_parts)
+        gslot = np.concatenate(gs_parts)
+        row_block = np.concatenate(rb_parts)
+        row_start = np.concatenate(rs_parts)
+        row_count = np.concatenate(rn_parts)
+        slots_flat = np.concatenate(slot_parts)
+        centers_flat = np.concatenate(ctr_parts, axis=0)
+        K_scans = len(tables)
+        Bt_max = max(scan_count)
+
+        # monotone pads (rows round to the chunk, blocks to 256) → stable
+        # executables; K is static per call (12-scan batch vs 1-scan server)
+        pad = _GLOBAL_PADS.setdefault(
+            (type(self).__name__, cfg),
+            {"N": 1024, "F": 4096, "R": _CHUNK * 4, "T": 256, "B": 256})
+        pad["N"] = max(pad["N"], base.next_pow2(max(len(entries), 1024)))
+        pad["F"] = max(pad["F"], base.next_pow2(max(len(ids), 4096)))
+        pad["R"] = max(pad["R"], base.round_up(max(len(row_block), _CHUNK), _CHUNK))
+        pad["T"] = max(pad["T"], base.round_up(max(len(slots_flat), 256), 256))
+        pad["B"] = max(pad["B"], base.round_up(max(Bt_max, 256), 256))
+        Np, Fp, Rp, Tp, Btp = pad["N"], pad["F"], pad["R"], pad["T"], pad["B"]
+
+        ent_p = np.zeros((Np, D), np.float32)
+        ent_p[:len(entries)] = entries
+        lab_p = np.zeros(Np, np.float32)
+        lab_p[:len(labels)] = labels
+        ids_p = np.zeros(Fp, np.int32)
+        ids_p[:len(ids)] = ids
+        gs_p = np.zeros(Fp, np.int8)
+        gs_p[:len(gslot)] = gslot
+        rb_p = np.full(Rp, Tp - 1, np.int32)   # padding rows hit a dead slot
+        rb_p[:len(row_block)] = row_block
+        rs_p = np.zeros(Rp, np.int32)
+        rs_p[:len(row_start)] = row_start
+        rn_p = np.zeros(Rp, np.int32)          # count 0 ⇒ padding row
+        rn_p[:len(row_count)] = row_count
+        sl_p = np.full(Tp, self.pool.capacity, np.int32)
+        sl_p[:len(slots_flat)] = slots_flat
+        ct_p = np.zeros((Tp, 3), np.float32)
+        ct_p[:len(centers_flat)] = centers_flat
+        ss = np.asarray(scan_start, np.int32)
+        sc = np.asarray(scan_count, np.int32)
+
+        if not hasattr(self, "_dev_consts"):
+            self._dev_consts = (jnp.asarray(self._all_nodes_host),
+                                jnp.asarray(self._node_idx_host))
+        an_dev, ni_dev = self._dev_consts
+
+        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+         self.pool.eff_level) = _bgk_seq_step(
+            self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+            self.pool.eff_level, an_dev, ni_dev,
+            jnp.asarray(ent_p), jnp.asarray(lab_p),
+            jnp.asarray(ids_p), jnp.asarray(gs_p),
+            jnp.asarray(rb_p), jnp.asarray(rs_p), jnp.asarray(rn_p),
+            jnp.asarray(sl_p), jnp.asarray(ct_p),
+            jnp.asarray(ss), jnp.asarray(sc),
+            W=W, chunk=_CHUNK, G=G, sf2=cfg.sf2, ell=cfg.ell,
+            gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
+            segments=self.SEGMENTS, state_fn=self._state_fn,
+            do_prune=cfg.block_depth > 1, scan_bt=Btp)
 
     def _make_state_fn(self):
         cfg = self.cfg

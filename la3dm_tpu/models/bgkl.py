@@ -28,10 +28,19 @@ def segment_block_entries(td: preprocess.SegmentTrainingData,
     h_entries = np.concatenate([td.hits[h_idx], td.hits[h_idx]], axis=1).astype(np.float32)
 
     s_coords, s_idx = geo.point_block_memberships(td.samples, block_size)
-    pair = np.stack([geo.pack_key(s_coords), td.sample_ray[s_idx]], axis=1)
-    uniq = np.unique(pair, axis=0)
-    r_coords = geo.unpack_key(uniq[:, 0])
-    r_entries = td.rays[uniq[:, 1]].astype(np.float32)
+    s_keys = geo.pack_key(s_coords)
+    s_rays = td.sample_ray[s_idx]
+    # dedup (block, ray) pairs via lexsort — np.unique(axis=0)'s void-dtype
+    # sort costs ~9× more on these ~100k-row tables
+    order = np.lexsort((s_rays, s_keys))
+    sk, sr = s_keys[order], s_rays[order]
+    if len(sk):
+        keep = np.empty(len(sk), bool)
+        keep[0] = True
+        keep[1:] = (sk[1:] != sk[:-1]) | (sr[1:] != sr[:-1])
+        sk, sr = sk[keep], sr[keep]
+    r_coords = geo.unpack_key(sk)
+    r_entries = td.rays[sr].astype(np.float32)
 
     coords = np.concatenate([h_coords, r_coords], axis=0)
     entries = np.concatenate([h_entries, r_entries], axis=0)
@@ -44,21 +53,11 @@ class BGKLOctoMap(BGKOctoMap):
     SEGMENTS = True
     GATE = 0.001  # bgkloctomap.cpp:231
 
-    def insert_pointcloud(self, cloud: np.ndarray, origin: np.ndarray,
-                          ds_resolution: float | None = None,
-                          free_resolution: float | None = None,
-                          max_range: float | None = None) -> None:
-        cfg = self.cfg
-        td = preprocess.bgkl_training_data(
-            cloud, origin,
-            cfg.ds_resolution if ds_resolution is None else ds_resolution,
-            cfg.free_resolution if free_resolution is None else free_resolution,
-            cfg.max_range if max_range is None else max_range)
+    def _scan_entries(self, cloud, origin, ds, fr, mr):
+        td = preprocess.bgkl_training_data(cloud, origin, ds, fr, mr)
         if len(td.hits) == 0 and len(td.rays) == 0:
-            return
-        coords, entries, labels = segment_block_entries(td, self.block_size)
-        tables = bucketing.bucket_tables(coords, entries, labels, self._neighbor_offsets)
-        self._apply_tables(tables)
+            return None
+        return segment_block_entries(td, self.block_size)
 
     # The reference declares insert_training_data for BGKL but never
     # implemented it (bgkloctomap.h:89); here segment-level insertion works:

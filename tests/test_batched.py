@@ -73,3 +73,37 @@ def test_bgklv_batched_original_size_fallback():
     m_bat.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
                              ds_resolution=cfg.resolution, max_range=6.0)
     _compare(m_seq, m_bat, atol=0.0)
+
+
+@pytest.mark.parametrize("method", ["bgk", "bgkl"])
+def test_bgk_family_batched_equals_sequential(method):
+    """The BGK-family seq engine lax.scans over scans on device, applying
+    each scan's gate/update/prune in order — including prune-BETWEEN-scans
+    (default block_depth 3), so eff_level state must match the sequential
+    loop too."""
+    from la3dm_tpu.pipeline import MAP_CLASSES
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = load_method_config(method)
+    scans = _scans(4)
+    cls = MAP_CLASSES[method]
+    m_seq = cls(cfg)
+    for cloud, origin in scans:
+        m_seq.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution)
+    m_bat = cls(cfg)
+    m_bat.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                             ds_resolution=cfg.resolution)
+    k1, f1 = _pool_state(m_seq)
+    k2, f2 = _pool_state(m_bat)
+    assert set(k1) == set(k2)
+    order1 = [k1[c] for c in sorted(k1)]
+    order2 = [k2[c] for c in sorted(k2)]
+    # same engine both ways (K=1 vs K=4) ⇒ identical sums, zero tolerance;
+    # eff_level equality proves per-scan pruning ran identically
+    e1 = np.asarray(m_seq.pool.eff_level)[m_seq.pool.active_slots()][order1]
+    e2 = np.asarray(m_bat.pool.eff_level)[m_bat.pool.active_slots()][order2]
+    assert np.array_equal(e1, e2)
+    for name in f1:
+        a = f1[name][order1]
+        b = f2[name][order2]
+        assert np.array_equal(a, b), name
