@@ -31,8 +31,13 @@ def _load():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            # -ffp-contract=off: no FMA contraction — float expressions round
+            # exactly like numpy's, keeping training points bit-identical to
+            # the numpy path (the k̄ update gate sits on the sparse kernel's
+            # support boundary, so ulps matter)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", "-o", _SO, _SRC],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -61,6 +66,20 @@ def _load():
             i64p, i32p, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ip, ip, ip,
+        ]
+        lib.bgk_training_data.restype = ctypes.c_int
+        lib.bgk_training_data.argtypes = [
+            f32p, ctypes.c_int, f32p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            f32p, ip, f32p, ip,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.bgkl_training_data.restype = ctypes.c_int
+        lib.bgkl_training_data.argtypes = [
+            f32p, ctypes.c_int, f32p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            f32p, ip, f32p, ip, f32p, i32p, ip,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         _lib = lib
     except Exception:
@@ -191,3 +210,74 @@ def lv_tile_tables_ray(hits: np.ndarray, rays: np.ndarray,
     return (keys[:Ta].copy(), hs[:Ta].copy(), hc[:Ta].copy(),
             rs[:Ta].copy(), rc_[:Ta].copy(),
             hf[:nhf.value].copy(), rf[:nrf.value].copy())
+
+
+def bgk_training_data(cloud: np.ndarray, origin: np.ndarray, ds: float, fr: float,
+                      max_range: float, free_label: float = 0.0):
+    """Native BGK/GP training-data build (hits + downsampled frees); returns
+    a PointTrainingData or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    from la3dm_tpu.geometry.preprocess import PointTrainingData
+
+    cloud = np.ascontiguousarray(cloud, np.float32)
+    origin = np.ascontiguousarray(np.asarray(origin, np.float32).reshape(3))
+    n = len(cloud)
+    max_h = n + 8
+    # frees are downsampled to ds cells — bounded by beam volume; start
+    # generous and double on overflow
+    max_f = max(4 * n, 1024)
+    while True:
+        hits = np.empty((max_h, 3), np.float32)
+        frees = np.empty((max_f, 3), np.float32)
+        nh, nf = ctypes.c_int(), ctypes.c_int()
+        rc = lib.bgk_training_data(
+            cloud.reshape(-1), n, origin, ds, fr, max_range,
+            hits.reshape(-1), ctypes.byref(nh), frees.reshape(-1), ctypes.byref(nf),
+            max_h, max_f)
+        if rc == 0:
+            break
+        max_h *= 2
+        max_f *= 2
+    H, F = nh.value, nf.value
+    points = np.concatenate([hits[:H], frees[:F]], axis=0)
+    labels = np.concatenate([np.ones(H, np.float32),
+                             np.full(F, free_label, np.float32)])
+    return PointTrainingData(points=points, labels=labels)
+
+
+def bgkl_training_data(cloud: np.ndarray, origin: np.ndarray, ds: float, fr: float,
+                       max_range: float):
+    """Native BGKL training-data build; returns a SegmentTrainingData or
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    from la3dm_tpu.geometry.preprocess import SegmentTrainingData
+
+    cloud = np.ascontiguousarray(cloud, np.float32)
+    origin = np.ascontiguousarray(np.asarray(origin, np.float32).reshape(3))
+    n = len(cloud)
+    max_h = n + 8
+    max_s = 64
+    while True:
+        max_s = max(max_s, int((max(max_range, 1.0) / max(fr, 1e-6) + 2) * max_h))
+        hits = np.empty((max_h, 3), np.float32)
+        rays = np.empty((max_h, 6), np.float32)
+        samples = np.empty((max_s, 3), np.float32)
+        sample_ray = np.empty(max_s, np.int32)
+        nh, nr, ns = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        rc = lib.bgkl_training_data(
+            cloud.reshape(-1), n, origin, ds, fr, max_range,
+            hits.reshape(-1), ctypes.byref(nh), rays.reshape(-1), ctypes.byref(nr),
+            samples.reshape(-1), sample_ray, ctypes.byref(ns),
+            max_h, max_h, max_s)
+        if rc == 0:
+            break
+        max_h *= 2
+        max_s *= 2
+    return SegmentTrainingData(
+        hits=hits[:nh.value].copy(), rays=rays[:nr.value].copy(),
+        samples=samples[:ns.value].copy(),
+        sample_ray=sample_ray[:ns.value].astype(np.int64))

@@ -235,8 +235,13 @@ class BGKOctoMap(base.OccupancyMapBase):
 
     def _scan_entries(self, cloud, origin, ds, fr, mr):
         """Scan → (block coords, entries [N,D], labels) or None if empty."""
-        td = preprocess.bgk_training_data(cloud, origin, ds, fr, mr,
-                                          free_label=0.0)
+        from la3dm_tpu.geometry import native
+
+        td = native.bgk_training_data(cloud, origin, ds, fr, mr,
+                                      free_label=0.0)
+        if td is None:  # no native toolchain — numpy fallback
+            td = preprocess.bgk_training_data(cloud, origin, ds, fr, mr,
+                                              free_label=0.0)
         if len(td.points) == 0:
             return None
         points = td.points.astype(np.float32)

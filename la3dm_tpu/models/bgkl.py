@@ -54,7 +54,11 @@ class BGKLOctoMap(BGKOctoMap):
     GATE = 0.001  # bgkloctomap.cpp:231
 
     def _scan_entries(self, cloud, origin, ds, fr, mr):
-        td = preprocess.bgkl_training_data(cloud, origin, ds, fr, mr)
+        from la3dm_tpu.geometry import native
+
+        td = native.bgkl_training_data(cloud, origin, ds, fr, mr)
+        if td is None:  # no native toolchain — numpy fallback
+            td = preprocess.bgkl_training_data(cloud, origin, ds, fr, mr)
         if len(td.hits) == 0 and len(td.rays) == 0:
             return None
         return segment_block_entries(td, self.block_size)

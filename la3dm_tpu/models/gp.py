@@ -8,18 +8,27 @@ information-filter update ``ivar += 1/σ² − sf2; m_ivar += μ/σ²`` includin
 the order-dependent persistent ivar chop (gpoctree_node.cpp:36-49).
 Free-space label is −1 (gpoctomap.cpp:399); there is no k̄ gate.
 
-TPU design: **one dispatch per scan** — padded batched Cholesky over all
-models, prediction of each model's G neighbor test blocks as one batched
-triangular solve, device-side scatter to (test block, slot) and the
-sequential BCM fusion + prune all inside a single jitted step.  The host
-ships only the sorted training points and small index tables; nothing is
-fetched back (the tunnel's per-transfer latency, not FLOPs, dominates
-per-scan cost at this workload size).
+TPU design — the same **two-pass sequence engine** as the BGK family
+(models/bgk.py): the HEAVY pass trains every scan's models with a batched
+Cholesky (chunked ``lax.scan`` bounding the [chunk, S, S] factor live set)
+and predicts each model's G neighbor test blocks at ALL octree-level node
+centers, scattering (mean, var) into a per-(scan, block, slot) table; the
+LIGHT pass lax.scans over scans applying the order-dependent sequential
+BCM fusion and the per-scan prune at each voxel's eff-level node.  Whole
+scan sequences integrate in one heavy dispatch per size tier (usually one)
+plus one light dispatch.
+
+Size tiers: models are bucketed by point count into a base tier (S=128
+covers the demo datasets entirely) and, only when a scan contains denser
+blocks, one overflow tier at next-pow2(max count) — so a single 4,000-point
+block costs one small [few, 4096, 4096] batch instead of padding every
+model to 4096 (reference per-block sizes vary wildly, gpregressor.h:42-51).
 """
 
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax
@@ -30,89 +39,141 @@ from la3dm_tpu.kernels import gp as kgp
 from la3dm_tpu.models import base, bucketing, posterior, pruning
 from la3dm_tpu.utils.config import MapConfig
 
+#: base tier size (point counts ≤ this go to the shared executable)
+_TIER0 = 128
+
 # monotone pad sizes shared across map instances with the same config
 _GLOBAL_PADS: dict = {}
 
 
+def _chunk_for(S: int) -> int:
+    """Model-chunk size bounding the [chunk, S, S] Cholesky workspace."""
+    return max(8, min(256, (1 << 24) // max(S * S, 1)))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "G", "V", "sf2", "ell", "noise", "min_known_ivar",
-                     "max_ivar", "n", "max_level", "state_fn", "do_prune"),
-    donate_argnames=("m_ivar", "ivar", "touched", "eff"),
+    static_argnames=("S", "chunk", "G", "sf2", "ell", "noise"),
+    donate_argnames=("acc_mean", "acc_var", "present"),
 )
-def _gp_scan_step(m_ivar, ivar, touched, eff, level_tab,
-                  pts_s, lab_s, starts, counts, nb_t, slots, centers,
-                  S: int, G: int, V: int, sf2: float, ell: float, noise: float,
-                  min_known_ivar: float, max_ivar: float,
-                  n: int, max_level: int, state_fn=None, do_prune: bool = False):
-    """One GP scan: gather → batched train → predict → BCM → prune, one dispatch.
+def _gp_heavy(acc_mean, acc_var, present, all_nodes,
+              pts_s, lab_s, starts, counts, nb_rows, centers_flat,
+              S: int, chunk: int, G: int, sf2: float, ell: float, noise: float):
+    """One tier's models: batched train + all-level predict + scatter.
 
-    pts_s/lab_s: [N,*] training entries sorted by model block;
-    starts/counts: [M] per-model segments (count 0 ⇒ padding model);
-    nb_t: [M,G] row into ``slots`` of the test block each model serves at
-    slot g (clamped for padding); slots [B] pool slots (== capacity ⇒
-    padding row); centers [B,3] world block centers.
+    acc_mean/acc_var/present: [Tp·G, Vall] / [Tp·G, Vall] / [Tp·G] —
+    per-(test block row, slot) prediction tables (Tp stacks every scan's
+    block list).  nb_rows [M,G]: the block-list row model m serves at slot
+    g (== Tp ⇒ padding).  counts 0 ⇒ padding model.
     """
+    N = pts_s.shape[0]
+    Vall = all_nodes.shape[0]
+    Tp = centers_flat.shape[0]
     M = starts.shape[0]
-    B = slots.shape[0]
-
-    # ---- per-model training sets (segment gather, same as the BGK path)
     scol = jnp.arange(S, dtype=jnp.int32)[None, :]
-    valid = scol < counts[:, None]                               # [M,S]
-    idx = jnp.minimum(starts[:, None] + scol, pts_s.shape[0] - 1)
-    pts = pts_s[idx]                                             # [M,S,3]
-    y = jnp.where(valid, lab_s[idx], 0.0)
 
-    L, alpha = kgp.gp_train_core(pts, y, valid, sf2, ell, noise)
+    def model_chunk(carry, xs):
+        acc_mean, acc_var, present = carry
+        st, ct, nbt = xs                                    # [c],[c],[c,G]
+        valid = scol < ct[:, None]                          # [c,S]
+        idx = jnp.minimum(st[:, None] + scol, N - 1)
+        pts = pts_s[idx]                                    # [c,S,3]
+        y = jnp.where(valid, lab_s[idx], 0.0)
+        L, alpha = kgp.gp_train_core(pts, y, valid, sf2, ell, noise)
+        ctr = centers_flat[jnp.minimum(nbt, Tp - 1)]        # [c,G,3]
+        xq = (all_nodes[None, None] + ctr[:, :, None, :]).reshape(
+            -1, G * Vall, 3)                                # [c,G·Vall,3]
+        mean, var = kgp.gp_predict_core(L, alpha, pts, valid, xq, sf2, ell)
+        mean = mean.reshape(-1, G, Vall)
+        var = var.reshape(-1, G, Vall)
+        ok = ct > 0
+        # flat (block row, slot) target; distinct models serve distinct
+        # blocks at a fixed slot, so .set never collides
+        flat = jnp.where(ok[:, None] & (nbt < Tp),
+                         nbt * G + jnp.arange(G, dtype=jnp.int32)[None, :],
+                         Tp * G).reshape(-1)
+        acc_mean = acc_mean.at[flat].set(mean.reshape(-1, Vall), mode="drop")
+        acc_var = acc_var.at[flat].set(var.reshape(-1, Vall), mode="drop")
+        present = present.at[flat].set(
+            jnp.broadcast_to(ok[:, None], nbt.shape).reshape(-1), mode="drop")
+        return (acc_mean, acc_var, present), None
 
-    # ---- query points: eff-level voxel centers of every test block
-    eff_b = eff[jnp.minimum(slots, eff.shape[0] - 1)]            # [B,V]
-    off = jnp.take_along_axis(
-        level_tab[None], eff_b[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]
-    vox = off + centers[:, None, :]                              # [B,V,3]
+    nchunk = M // chunk
 
-    safe_nb = jnp.minimum(nb_t, B - 1)
-    xs = vox[safe_nb].reshape(M, G * V, 3)
-    mean, var = kgp.gp_predict_core(L, alpha, pts, valid, xs, sf2, ell)
-    mean = mean.reshape(M, G, V)
-    var = var.reshape(M, G, V)
+    def rc(x):
+        return x.reshape(nchunk, chunk, *x.shape[1:])
 
-    # ---- scatter predictions to (test block, slot); each (t,g) has ≤1 model
-    model_ok = counts > 0
-    flat = jnp.where(model_ok[:, None], safe_nb * G + jnp.arange(G)[None, :], B * G)
-    flat = flat.reshape(-1)
-    means_b = jnp.zeros((B * G, V), jnp.float32).at[flat].set(
-        mean.reshape(M * G, V), mode="drop")
-    vars_b = jnp.ones((B * G, V), jnp.float32).at[flat].set(
-        var.reshape(M * G, V), mode="drop")
-    present = jnp.zeros((B * G,), bool).at[flat].set(
-        jnp.broadcast_to(model_ok[:, None], (M, G)).reshape(-1), mode="drop")
-    means_b = jnp.moveaxis(means_b.reshape(B, G, V), 1, -1)      # [B,V,G]
-    vars_b = jnp.moveaxis(vars_b.reshape(B, G, V), 1, -1)
-    present = present.reshape(B, G)
+    (acc_mean, acc_var, present), _ = jax.lax.scan(
+        model_chunk, (acc_mean, acc_var, present),
+        (rc(starts), rc(counts), rc(nb_rows)))
+    return acc_mean, acc_var, present
 
-    # ---- sequential BCM fusion (order-dependent ivar chop) + scatter + prune
-    cur_mi = m_ivar[jnp.minimum(slots, m_ivar.shape[0] - 1)]
-    cur_iv = ivar[jnp.minimum(slots, ivar.shape[0] - 1)]
-    new_mi, new_iv = kgp.bcm_update_sequential(
-        cur_mi, cur_iv, means_b, vars_b, present[:, None, :].repeat(V, 1),
-        sf2, min_known_ivar, max_ivar)
-    any_present = jnp.any(present, axis=-1)[:, None]
-    m_ivar = m_ivar.at[slots].set(jnp.where(any_present, new_mi, cur_mi), mode="drop")
-    ivar = ivar.at[slots].set(jnp.where(any_present, new_iv, cur_iv), mode="drop")
-    touched = touched.at[slots].max(
-        jnp.broadcast_to(any_present, new_mi.shape), mode="drop")
 
-    if do_prune:
-        safe = jnp.minimum(slots, eff.shape[0] - 1)
-        vals = {"m_ivar": m_ivar[safe], "ivar": ivar[safe],
-                "touched": touched[safe].astype(jnp.float32)}
-        new_vals, new_eff = pruning.prune_blocks(vals, eff[safe], n=n,
-                                                 max_level=max_level, state_fn=state_fn)
-        m_ivar = m_ivar.at[slots].set(new_vals["m_ivar"], mode="drop")
-        ivar = ivar.at[slots].set(new_vals["ivar"], mode="drop")
-        touched = touched.at[slots].set(new_vals["touched"] > 0, mode="drop")
-        eff = eff.at[slots].set(new_eff, mode="drop")
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "sf2", "min_known_ivar", "max_ivar", "n",
+                     "max_level", "state_fn", "do_prune", "scan_bt"),
+    donate_argnames=("m_ivar", "ivar", "touched", "eff", "acc_mean",
+                     "acc_var", "present"),
+)
+def _gp_light(m_ivar, ivar, touched, eff, node_idx_tab,
+              acc_mean, acc_var, present, slots_flat, scan_start, scan_count,
+              G: int, sf2: float, min_known_ivar: float, max_ivar: float,
+              n: int, max_level: int, state_fn=None, do_prune: bool = False,
+              scan_bt: int = 256):
+    """Per-scan sequential BCM fusion + prune over the prediction tables."""
+    Tp = slots_flat.shape[0]
+    V = node_idx_tab.shape[1]
+    cap = eff.shape[0] - 1
+    vcol = jnp.arange(V, dtype=jnp.int32)
+    brow = jnp.arange(scan_bt, dtype=jnp.int32)
+    gcol = jnp.arange(G, dtype=jnp.int32)
+
+    def light_step(carry, xs):
+        m_ivar, ivar, touched, eff = carry
+        start, count = xs
+        bidx = jnp.minimum(start + brow, Tp - 1)
+        mask = brow < count
+        slots_k = jnp.where(mask, slots_flat[bidx], cap + 1)
+        rows = bidx[:, None] * G + gcol[None, :]            # [Bt,G]
+        mb = acc_mean[rows]                                 # [Bt,G,Vall]
+        vb = acc_var[rows]
+        pb = present[rows] & mask[:, None]                  # [Bt,G]
+        eff_b = eff[jnp.minimum(slots_k, cap)]              # [Bt,V]
+        nidx = node_idx_tab[eff_b.astype(jnp.int32), vcol[None, :]]  # [Bt,V]
+        # per-voxel values at the current eff-level node, slot-major → [Bt,V,G]
+        means = jnp.moveaxis(
+            jnp.take_along_axis(mb, nidx[:, None, :], axis=2), 1, -1)
+        vars_ = jnp.moveaxis(
+            jnp.take_along_axis(vb, nidx[:, None, :], axis=2), 1, -1)
+        vars_ = jnp.where(vars_ == 0.0, 1.0, vars_)         # padded-row guard
+        cur_mi = m_ivar[jnp.minimum(slots_k, cap)]
+        cur_iv = ivar[jnp.minimum(slots_k, cap)]
+        new_mi, new_iv = kgp.bcm_update_sequential(
+            cur_mi, cur_iv, means, vars_,
+            jnp.broadcast_to(pb[:, None, :], means.shape),
+            sf2, min_known_ivar, max_ivar)
+        any_p = jnp.any(pb, axis=-1)[:, None]
+        m_ivar = m_ivar.at[slots_k].set(
+            jnp.where(any_p, new_mi, cur_mi), mode="drop")
+        ivar = ivar.at[slots_k].set(
+            jnp.where(any_p, new_iv, cur_iv), mode="drop")
+        touched = touched.at[slots_k].max(
+            jnp.broadcast_to(any_p, new_mi.shape), mode="drop")
+        if do_prune:
+            safe = jnp.minimum(slots_k, cap)
+            vals = {"m_ivar": m_ivar[safe], "ivar": ivar[safe],
+                    "touched": touched[safe].astype(jnp.float32)}
+            new_vals, new_eff = pruning.prune_blocks(
+                vals, eff[safe], n=n, max_level=max_level, state_fn=state_fn)
+            m_ivar = m_ivar.at[slots_k].set(new_vals["m_ivar"], mode="drop")
+            ivar = ivar.at[slots_k].set(new_vals["ivar"], mode="drop")
+            touched = touched.at[slots_k].set(new_vals["touched"] > 0, mode="drop")
+            eff = eff.at[slots_k].set(new_eff, mode="drop")
+        return (m_ivar, ivar, touched, eff), None
+
+    (m_ivar, ivar, touched, eff), _ = jax.lax.scan(
+        light_step, (m_ivar, ivar, touched, eff), (scan_start, scan_count))
     return m_ivar, ivar, touched, eff
 
 
@@ -127,80 +188,197 @@ class GPOctoMap(base.OccupancyMapBase):
     def _field_fills(self):
         return {"m_ivar": 0.0, "ivar": self.min_ivar}
 
+    @property
+    def _all_nodes_host(self) -> np.ndarray:
+        if not hasattr(self, "_node_tab_cache"):
+            self._node_tab_cache = geo.all_level_nodes(
+                self.cfg.resolution, self.cfg.block_depth)
+        return self._node_tab_cache[0]
+
+    @property
+    def _node_idx_host(self) -> np.ndarray:
+        if not hasattr(self, "_node_tab_cache"):
+            self._node_tab_cache = geo.all_level_nodes(
+                self.cfg.resolution, self.cfg.block_depth)
+        return self._node_tab_cache[1]
+
+    # ------------------------------------------------------------------ API
+
     def insert_pointcloud(self, cloud, origin, ds_resolution=None,
                           free_resolution=None, max_range=None) -> None:
-        cfg = self.cfg
-        td = preprocess.bgk_training_data(
-            cloud, origin,
-            cfg.ds_resolution if ds_resolution is None else ds_resolution,
-            cfg.free_resolution if free_resolution is None else free_resolution,
-            cfg.max_range if max_range is None else max_range,
-            free_label=-1.0)  # gpoctomap.cpp:399
-        if len(td.points) == 0:
-            return
-        self.insert_training_data(td.points, td.labels)
+        t = self._scan_model_tables(cloud, origin, ds_resolution,
+                                    free_resolution, max_range)
+        self._integrate([t] if t is not None else [])
+
+    def insert_pointclouds(self, clouds, origins, ds_resolution=None,
+                           free_resolution=None, max_range=None) -> None:
+        """Integrate a scan sequence: one heavy dispatch per size tier
+        (usually one) + one light dispatch for the whole batch."""
+        def work(co):
+            return self._scan_model_tables(co[0], co[1], ds_resolution,
+                                           free_resolution, max_range)
+
+        with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
+            tables = [t for t in ex.map(work, zip(clouds, origins))
+                      if t is not None]
+        self._integrate(tables)
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
+        t = self._model_tables(points.astype(np.float32),
+                               labels.astype(np.float32))
+        self._integrate([t] if t is not None else [])
+
+    # ------------------------------------------------------------- internals
+
+    def _scan_model_tables(self, cloud, origin, ds_resolution, free_resolution,
+                           max_range):
         cfg = self.cfg
-        points = points.astype(np.float32)
+        from la3dm_tpu.geometry import native
+
+        args = (cloud, origin,
+                cfg.ds_resolution if ds_resolution is None else ds_resolution,
+                cfg.free_resolution if free_resolution is None else free_resolution,
+                cfg.max_range if max_range is None else max_range)
+        td = native.bgk_training_data(*args, free_label=-1.0)  # gpoctomap.cpp:399
+        if td is None:  # no native toolchain — numpy fallback
+            td = preprocess.bgk_training_data(*args, free_label=-1.0)
+        if len(td.points) == 0:
+            return None
+        return self._model_tables(td.points.astype(np.float32),
+                                  td.labels.astype(np.float32))
+
+    def _model_tables(self, points: np.ndarray, labels: np.ndarray):
+        """One scan → (sorted points/labels, per-model segments, test-block
+        coords, per-model target rows)."""
         coords, pidx = geo.point_block_memberships(points, self.block_size)
         order, ukeys, starts, counts = bucketing.group_by_block(coords)
-        pts_s, lab_s = points[pidx][order], labels.astype(np.float32)[pidx][order]
+        if len(ukeys) == 0:
+            return None
+        pts_s = points[pidx][order]
+        lab_s = labels[pidx][order]
         model_coords = geo.unpack_key(ukeys)
-        M = len(model_coords)
-        if M == 0:
-            return
 
         test_coords = bucketing.test_blocks_for(ukeys, self._neighbor_offsets)
-        slots = self.pool.ensure(test_coords)
-        B = len(test_coords)
-        t_index = {int(k): i for i, k in enumerate(geo.pack_key(test_coords))}
-        G, V = self.num_slots, self.V
-
+        test_keys = geo.pack_key(test_coords)  # sorted (unique order)
+        G = self.num_slots
         # model m at coord c serves test block c − off[s] at slot s
-        nb_t = np.empty((M, G), np.int32)
+        nb_t = np.empty((len(ukeys), G), np.int32)
         for s, off in enumerate(self._neighbor_offsets):
             keys = geo.pack_key(model_coords - off[None, :])
-            nb_t[:, s] = [t_index[int(k)] for k in keys]  # always present
+            nb_t[:, s] = np.searchsorted(test_keys, keys)  # always present
+        return {"pts": pts_s, "lab": lab_s,
+                "starts": starts.astype(np.int64),
+                "counts": counts.astype(np.int64),
+                "nb_t": nb_t, "test_coords": test_coords}
 
-        self.stats["kernel_evals"] += int((counts ** 2).sum() + counts.sum() * G * V)
-        self.stats["scans"] += 1
+    def _integrate(self, tables: list) -> None:
+        if not tables:
+            return
+        cfg = self.cfg
+        G = self.num_slots
+        Vall = self._all_nodes_host.shape[0]
 
-        # monotone pow2 pads: stable executable shapes across scans/instances
-        pad = _GLOBAL_PADS.setdefault((type(self).__name__, self.cfg),
-                                      {"M": 64, "B": 64, "S": 32, "N": 256})
-        pad["M"] = max(pad["M"], base.next_pow2(max(M, 8)))
-        pad["B"] = max(pad["B"], base.next_pow2(max(B, 8)))
-        pad["S"] = max(pad["S"], base.next_pow2(max(int(counts.max()), 8)))
-        pad["N"] = max(pad["N"], base.next_pow2(max(len(pts_s), 256)))
-        M_pad, B_pad, S, N_pad = pad["M"], pad["B"], pad["S"], pad["N"]
+        pts_parts, lab_parts = [], []
+        st_parts, ct_parts, nb_parts = [], [], []
+        slot_parts, ctr_parts = [], []
+        scan_start, scan_count = [], []
+        pt_off = 0
+        blk_off = 0
+        for t in tables:
+            slots = self.pool.ensure(t["test_coords"])
+            pts_parts.append(t["pts"])
+            lab_parts.append(t["lab"])
+            st_parts.append(t["starts"] + pt_off)
+            ct_parts.append(t["counts"])
+            nb_parts.append(t["nb_t"] + blk_off)
+            slot_parts.append(slots.astype(np.int32))
+            ctr_parts.append(self.block_centers(t["test_coords"]).astype(np.float32))
+            scan_start.append(blk_off)
+            scan_count.append(len(slots))
+            pt_off += len(t["pts"])
+            blk_off += len(slots)
+            self.stats["kernel_evals"] += int(
+                (t["counts"] ** 2).sum() + t["counts"].sum() * G * Vall)
+            self.stats["scans"] += 1
 
-        pts_p = np.zeros((N_pad, 3), np.float32)
-        pts_p[:len(pts_s)] = pts_s
-        lab_p = np.zeros(N_pad, np.float32)
-        lab_p[:len(lab_s)] = lab_s
-        starts_p = np.zeros(M_pad, np.int32)
-        starts_p[:M] = starts
-        counts_p = np.zeros(M_pad, np.int32)  # 0 ⇒ padding model
-        counts_p[:M] = counts
-        nb_p = np.zeros((M_pad, G), np.int32)
-        nb_p[:M] = nb_t
-        slots_p = np.full(B_pad, self.pool.capacity, np.int32)
-        slots_p[:B] = slots
-        centers_p = np.zeros((B_pad, 3), np.float32)
-        centers_p[:B] = self.block_centers(test_coords)
+        pts_all = np.concatenate(pts_parts, axis=0)
+        lab_all = np.concatenate(lab_parts)
+        starts = np.concatenate(st_parts)
+        counts = np.concatenate(ct_parts)
+        nb_t = np.concatenate(nb_parts, axis=0)
+        slots_flat = np.concatenate(slot_parts)
+        centers_flat = np.concatenate(ctr_parts, axis=0)
+        Bt_max = max(scan_count)
 
-        (self.pool.fields["m_ivar"], self.pool.fields["ivar"], self.pool.touched,
-         self.pool.eff_level) = _gp_scan_step(
-            self.pool.fields["m_ivar"], self.pool.fields["ivar"], self.pool.touched,
-            self.pool.eff_level, self._level_offsets,
-            jnp.asarray(pts_p), jnp.asarray(lab_p),
-            jnp.asarray(starts_p), jnp.asarray(counts_p), jnp.asarray(nb_p),
-            jnp.asarray(slots_p), jnp.asarray(centers_p),
-            S=S, G=G, V=V, sf2=cfg.sf2, ell=cfg.ell, noise=cfg.noise,
-            min_known_ivar=self.min_known_ivar, max_ivar=self.max_ivar,
-            n=self.n, max_level=cfg.block_depth - 1,
-            state_fn=self._state_fn, do_prune=cfg.block_depth > 1)
+        pad = _GLOBAL_PADS.setdefault(
+            (type(self).__name__, cfg),
+            {"N": 1024, "T": 256, "B": 256, "tiers": {}})
+        pad["N"] = max(pad["N"], base.next_pow2(max(len(pts_all), 1024)))
+        pad["T"] = max(pad["T"], base.round_up(max(len(slots_flat), 256), 256))
+        pad["B"] = max(pad["B"], base.round_up(max(Bt_max, 256), 256))
+        Np, Tp, Btp = pad["N"], pad["T"], pad["B"]
+
+        pts_p = np.zeros((Np, 3), np.float32)
+        pts_p[:len(pts_all)] = pts_all
+        lab_p = np.zeros(Np, np.float32)
+        lab_p[:len(lab_all)] = lab_all
+        sl_p = np.full(Tp, self.pool.capacity, np.int32)
+        sl_p[:len(slots_flat)] = slots_flat
+        ct_p = np.zeros((Tp, 3), np.float32)
+        ct_p[:len(centers_flat)] = centers_flat
+        ss = np.asarray(scan_start, np.int32)
+        sc = np.asarray(scan_count, np.int32)
+
+        if not hasattr(self, "_dev_consts"):
+            self._dev_consts = (jnp.asarray(self._all_nodes_host),
+                                jnp.asarray(self._node_idx_host))
+        an_dev, ni_dev = self._dev_consts
+        pts_dev = jnp.asarray(pts_p)
+        lab_dev = jnp.asarray(lab_p)
+        ctr_dev = jnp.asarray(ct_p)
+
+        # prediction tables (double-buffer target of the heavy tiers)
+        acc_mean = jnp.zeros((Tp * G, Vall), jnp.float32)
+        acc_var = jnp.ones((Tp * G, Vall), jnp.float32)
+        present = jnp.zeros((Tp * G,), bool)
+
+        # size tiers: base tier _TIER0 + one overflow tier when needed
+        mx = int(counts.max())
+        tier_caps = [_TIER0] if mx <= _TIER0 else [_TIER0, base.next_pow2(mx)]
+        lo = 0
+        for S in tier_caps:
+            sel = np.nonzero((counts > lo) & (counts <= S))[0]
+            lo = S
+            if len(sel) == 0:
+                continue
+            chunk = _chunk_for(S)
+            tp = pad["tiers"].setdefault(S, {"M": chunk})
+            tp["M"] = max(tp["M"], base.round_up(max(len(sel), chunk), chunk))
+            Mp = tp["M"]
+            st_t = np.zeros(Mp, np.int32)
+            st_t[:len(sel)] = starts[sel]
+            cn_t = np.zeros(Mp, np.int32)  # 0 ⇒ padding model
+            cn_t[:len(sel)] = counts[sel]
+            nb_p = np.full((Mp, G), Tp, np.int32)
+            nb_p[:len(sel)] = nb_t[sel]
+            acc_mean, acc_var, present = _gp_heavy(
+                acc_mean, acc_var, present, an_dev,
+                pts_dev, lab_dev,
+                jnp.asarray(st_t), jnp.asarray(cn_t), jnp.asarray(nb_p),
+                ctr_dev,
+                S=S, chunk=chunk, G=G, sf2=cfg.sf2, ell=cfg.ell,
+                noise=cfg.noise)
+
+        (self.pool.fields["m_ivar"], self.pool.fields["ivar"],
+         self.pool.touched, self.pool.eff_level) = _gp_light(
+            self.pool.fields["m_ivar"], self.pool.fields["ivar"],
+            self.pool.touched, self.pool.eff_level, ni_dev,
+            acc_mean, acc_var, present,
+            jnp.asarray(sl_p), jnp.asarray(ss), jnp.asarray(sc),
+            G=G, sf2=cfg.sf2, min_known_ivar=self.min_known_ivar,
+            max_ivar=self.max_ivar, n=self.n, max_level=cfg.block_depth - 1,
+            state_fn=self._state_fn, do_prune=cfg.block_depth > 1,
+            scan_bt=Btp)
 
     def _make_state_fn(self):
         cfg = self.cfg

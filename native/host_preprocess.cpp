@@ -410,6 +410,154 @@ int lv_tile_tables_ray(const float* hits, int H,
   return 0;
 }
 
+// BGK/GP training data (bgkoctomap.cpp:383-458 semantics, shared with the
+// numpy path in geometry/preprocess.py::bgk_training_data).
+//
+// hits = voxel-downsampled cloud, max-range filtered (double-precision norm,
+// :394-397).  frees = downsample of [origin ×H] ++ per-beam forward samples
+// d = fr, 2fr, … < l plus one sample at l − fr when l > fr (:433-458); the
+// accumulation order matches numpy's (insertion order within each voxel
+// cell), so centroids agree to f64 rounding.  Labels are assembled by the
+// Python wrapper.  Returns 0, or -1 if an output buffer is too small.
+int bgk_training_data(const float* cloud, int n_cloud, const float* origin3,
+                      float ds, float fr, float max_range,
+                      float* hits_out, int* n_hits_out,
+                      float* frees_out, int* n_frees_out,
+                      int max_hits, int max_frees) {
+  std::vector<V3> hits;
+  if (ds < 0) {
+    hits.reserve(n_cloud);
+    for (int i = 0; i < n_cloud; ++i)
+      hits.push_back({cloud[3 * i], cloud[3 * i + 1], cloud[3 * i + 2]});
+  } else {
+    Downsample(cloud, n_cloud, ds, &hits);
+  }
+  const double ox = origin3[0], oy = origin3[1], oz = origin3[2];
+  const float oxf = origin3[0], oyf = origin3[1], ozf = origin3[2];
+
+  // max-range filter (double)
+  int nh = 0;
+  for (const V3& p : hits) {
+    if (max_range > 0) {
+      const double dx = (double)p.x - ox, dy = (double)p.y - oy, dz = (double)p.z - oz;
+      if (std::sqrt(dx * dx + dy * dy + dz * dz) > (double)max_range) continue;
+    }
+    if (nh >= max_hits) return -1;
+    hits_out[3 * nh] = p.x; hits_out[3 * nh + 1] = p.y; hits_out[3 * nh + 2] = p.z;
+    ++nh;
+  }
+
+  // frees cloud: the origin once per hit (bgkoctomap.cpp:404), then per-beam
+  // forward samples (k·fr < l) plus the extra sample at l − fr
+  std::vector<V3> frees;
+  frees.reserve((size_t)nh * 8 + nh);
+  for (int i = 0; i < nh; ++i) frees.push_back({oxf, oyf, ozf});
+  for (int i = 0; i < nh; ++i) {
+    const float px = hits_out[3 * i], py = hits_out[3 * i + 1], pz = hits_out[3 * i + 2];
+    // float32 arithmetic to mirror numpy's beam_free_points exactly
+    const float dx = px - oxf, dy = py - oyf, dz = pz - ozf;
+    const float l = std::sqrt(dx * dx + dy * dy + dz * dz);
+    const float nx = dx / l, ny = dy / l, nz = dz / l;
+    for (int k = 1;; ++k) {
+      const float d = (float)k * fr;
+      if (!(d < l)) break;
+      frees.push_back({oxf + nx * d, oyf + ny * d, ozf + nz * d});
+    }
+    if (l > fr) {
+      const float d = l - fr;
+      frees.push_back({oxf + nx * d, oyf + ny * d, ozf + nz * d});
+    }
+  }
+  std::vector<V3> frees_ds;
+  if (ds < 0) {
+    frees_ds = frees;
+  } else {
+    Downsample((const float*)frees.data(), (int)frees.size(), ds, &frees_ds);
+  }
+  if ((int)frees_ds.size() > max_frees) return -1;
+  for (size_t i = 0; i < frees_ds.size(); ++i) {
+    frees_out[3 * i] = frees_ds[i].x;
+    frees_out[3 * i + 1] = frees_ds[i].y;
+    frees_out[3 * i + 2] = frees_ds[i].z;
+  }
+  *n_hits_out = nh;
+  *n_frees_out = (int)frees_ds.size();
+  return 0;
+}
+
+// BGKL training data (bgkloctomap.cpp:285-344 semantics, shared with
+// geometry/preprocess.py::bgkl_training_data).  Per in-range hit: the
+// endpoint recomputed as origin + n·l in float32 (:316), a free ray
+// (origin, origin + n·(l−fr)) (:335-338), and the ray's R-tree proxy
+// samples: the origin (:328) plus BACKWARD beam samples d = l−k·fr > 0
+// (:325, beam order matches numpy: all origins first, then per-beam
+// samples — downstream dedup/grouping is order-insensitive).
+int bgkl_training_data(const float* cloud, int n_cloud, const float* origin3,
+                       float ds, float fr, float max_range,
+                       float* hits_out, int* n_hits_out,
+                       float* rays_out, int* n_rays_out,
+                       float* samples_out, int32_t* sample_ray_out, int* n_samples_out,
+                       int max_hits, int max_rays, int max_samples) {
+  std::vector<V3> hits;
+  if (ds < 0) {
+    hits.reserve(n_cloud);
+    for (int i = 0; i < n_cloud; ++i)
+      hits.push_back({cloud[3 * i], cloud[3 * i + 1], cloud[3 * i + 2]});
+  } else {
+    Downsample(cloud, n_cloud, ds, &hits);
+  }
+  const double ox = origin3[0], oy = origin3[1], oz = origin3[2];
+  const float oxf = origin3[0], oyf = origin3[1], ozf = origin3[2];
+
+  int nh = 0;
+  for (const V3& p : hits) {
+    if (max_range > 0) {
+      const double dx = (double)p.x - ox, dy = (double)p.y - oy, dz = (double)p.z - oz;
+      if (std::sqrt(dx * dx + dy * dy + dz * dz) > (double)max_range) continue;
+    }
+    if (nh >= max_hits || nh >= max_rays) return -1;
+    // float32 recompute of the endpoint (numpy: occ = origin + n·l)
+    const float dxf = p.x - oxf, dyf = p.y - oyf, dzf = p.z - ozf;
+    float l = std::sqrt(dxf * dxf + dyf * dyf + dzf * dzf);
+    const float lm = l > 1e-30f ? l : 1e-30f;
+    const float nx = dxf / lm, ny = dyf / lm, nz = dzf / lm;
+    hits_out[3 * nh] = oxf + nx * l;
+    hits_out[3 * nh + 1] = oyf + ny * l;
+    hits_out[3 * nh + 2] = ozf + nz * l;
+    const float le = l - fr;
+    rays_out[6 * nh] = oxf; rays_out[6 * nh + 1] = oyf; rays_out[6 * nh + 2] = ozf;
+    rays_out[6 * nh + 3] = oxf + nx * le;
+    rays_out[6 * nh + 4] = oyf + ny * le;
+    rays_out[6 * nh + 5] = ozf + nz * le;
+    ++nh;
+  }
+  int ns = 0;
+  for (int i = 0; i < nh; ++i) {  // ray origins (bgkloctomap.cpp:328)
+    if (ns >= max_samples) return -1;
+    samples_out[3 * ns] = oxf; samples_out[3 * ns + 1] = oyf; samples_out[3 * ns + 2] = ozf;
+    sample_ray_out[ns++] = i;
+  }
+  for (int i = 0; i < nh; ++i) {  // backward beam samples over the OCC endpoint
+    const float px = hits_out[3 * i], py = hits_out[3 * i + 1], pz = hits_out[3 * i + 2];
+    const float dx = px - oxf, dy = py - oyf, dz = pz - ozf;
+    const float l = std::sqrt(dx * dx + dy * dy + dz * dz);
+    const float nx = dx / l, ny = dy / l, nz = dz / l;
+    for (int k = 1;; ++k) {
+      const float d = l - (float)k * fr;
+      if (!(d > 0.0f)) break;
+      if (ns >= max_samples) return -1;
+      samples_out[3 * ns] = oxf + nx * d;
+      samples_out[3 * ns + 1] = oyf + ny * d;
+      samples_out[3 * ns + 2] = ozf + nz * d;
+      sample_ray_out[ns++] = i;
+    }
+  }
+  *n_hits_out = nh;
+  *n_rays_out = nh;
+  *n_samples_out = ns;
+  return 0;
+}
+
 // voxel-grid downsample (shared helper; out sorted z-major)
 int voxel_downsample(const float* pts, int n, float leaf, float* out, int max_out) {
   std::vector<V3> o;

@@ -107,3 +107,51 @@ def test_bgk_family_batched_equals_sequential(method):
         a = f1[name][order1]
         b = f2[name][order2]
         assert np.array_equal(a, b), name
+
+
+def test_gp_batched_equals_sequential():
+    """GP sequence engine: per-scan sequential BCM + prune on device must
+    match the per-scan loop exactly (same executable both ways)."""
+    from la3dm_tpu.models.gp import GPOctoMap
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = load_method_config("gp")
+    scans = _scans(3, dataset="sim_unstructured")
+    m_seq = GPOctoMap(cfg)
+    for cloud, origin in scans:
+        m_seq.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
+                                max_range=8.0)
+    m_bat = GPOctoMap(cfg)
+    m_bat.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                             ds_resolution=cfg.resolution, max_range=8.0)
+    k1, f1 = _pool_state(m_seq)
+    k2, f2 = _pool_state(m_bat)
+    assert set(k1) == set(k2)
+    order1 = [k1[c] for c in sorted(k1)]
+    order2 = [k2[c] for c in sorted(k2)]
+    e1 = np.asarray(m_seq.pool.eff_level)[m_seq.pool.active_slots()][order1]
+    e2 = np.asarray(m_bat.pool.eff_level)[m_bat.pool.active_slots()][order2]
+    assert np.array_equal(e1, e2)
+    for name in f1:
+        assert np.array_equal(f1[name][order1], f2[name][order2]), name
+
+
+def test_gp_dense_block_tier():
+    """A single dense (4,000-point) block + many small ones exercises the
+    overflow tier without padding every model to the max (gpregressor.h:42-51
+    trains per-block systems of wildly varying size)."""
+    from la3dm_tpu.models.gp import GPOctoMap
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = load_method_config("gp")
+    rng = np.random.default_rng(0)
+    bs = cfg.block_size
+    dense = (rng.random((4000, 3)) * bs * 0.9).astype(np.float32)
+    sparse = (rng.random((400, 3)) * bs * 8 + np.float32([2 * bs, 0, 0])).astype(np.float32)
+    pts = np.concatenate([dense, sparse])
+    labels = np.where(rng.random(len(pts)) < 0.5, 1.0, -1.0).astype(np.float32)
+    m = GPOctoMap(cfg)
+    m.insert_training_data(pts, labels)
+    assert m.pool.n_blocks > 0
+    leaves = m.leaves()
+    assert np.isfinite(leaves["prob"][leaves["state"] != 0]).all()

@@ -105,3 +105,28 @@ def test_ray_walk_tables_superset_of_sample_tables():
     assert pairs(samp, "h") == pairs(walk, "h")      # hit path is identical
     missing = pairs(samp, "r") - pairs(walk, "r")
     assert not missing, f"{len(missing)} sample pairs missing from ray walk"
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_bgk_training_data_bitwise(rng):
+    """Native BGK/GP training data is BIT-IDENTICAL to numpy (the k̄ gate
+    sits on the sparse kernel's support boundary; -ffp-contract=off keeps
+    float rounding aligned)."""
+    cloud, origin = synthetic_scan(rng, n=300)
+    for mr in (6.0, -1.0):
+        a = native.bgk_training_data(cloud, origin, 0.1, 0.5, mr, free_label=-1.0)
+        b = preprocess.bgk_training_data(cloud, origin, 0.1, 0.5, mr, free_label=-1.0)
+        assert np.array_equal(a.points, b.points)
+        assert np.array_equal(a.labels, b.labels)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_bgkl_training_data_bitwise(rng):
+    cloud, origin = synthetic_scan(rng, n=300)
+    for mr in (6.0, -1.0):
+        a = native.bgkl_training_data(cloud, origin, 0.1, 0.5, mr)
+        b = preprocess.bgkl_training_data(cloud, origin, 0.1, 0.5, mr)
+        assert np.array_equal(a.hits, b.hits)
+        assert np.array_equal(a.rays, b.rays)
+        assert np.array_equal(a.samples, b.samples)
+        assert np.array_equal(a.sample_ray, b.sample_ray)
