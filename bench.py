@@ -4,7 +4,9 @@
 Configs (BASELINE.md): scan-integration throughput on the reference's
 sim_structured demo workload (12 scans × 3500 pts, demo method configs) for
 BGKLV (the reference launch default method), BGK and BGKL.  Each method is
-run once to warm the jit cache and once fresh for the steady-state number.
+run once to warm the jit cache, then STEADY_RUNS fresh runs; the reported
+number is the MEDIAN (min/max spread included) — same policy for the C++
+baselines, so neither side benefits from best-of-N selection.
 
 vs_baseline: ratio against single-core C++ reference stand-ins
 (native/baseline_bgk.cpp, native/baseline_lv.cpp — faithful single-threaded
@@ -25,6 +27,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 DATA = "/root/reference/data/sim_structured"
 PRIMARY = "bgklv"
+STEADY_RUNS = 3  # median-of-N; spread reported alongside
 
 
 def _build(exe, src):
@@ -48,13 +51,12 @@ def cpp_baseline(method: str, dataset: str, scan_num: int = 12) -> dict:
         exe = os.path.join(native, "baseline_lv")
         _build(exe, exe + ".cpp")
         cmd = [exe, method, data, dataset, str(scan_num), "--json"]
-    best = None
-    for _ in range(2):
+    runs = []
+    for _ in range(STEADY_RUNS):
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        r = json.loads(out.stdout)
-        if best is None or r["scans_per_s"] > best["scans_per_s"]:
-            best = r
-    return best
+        runs.append(json.loads(out.stdout))
+    runs.sort(key=lambda r: r["scans_per_s"])
+    return runs[len(runs) // 2]  # median run
 
 
 # (method, dataset) per BASELINE.md acceptance configs; the long_term entry
@@ -77,15 +79,18 @@ def run_one(method: str, dataset: str) -> dict:
     t0 = time.time()
     run_static(cfg, ds)                 # warm: compiles (persistent-cached)
     warm_s = time.time() - t0
-    best = None
-    for _ in range(2):                  # steady state, fresh map each time
-        res = run_static(cfg, ds)
-        if best is None or res.scans_per_second > best.scans_per_second:
-            best = res
+    runs = []                           # steady state, fresh map each time
+    for _ in range(STEADY_RUNS):
+        runs.append(run_static(cfg, ds))
+    runs.sort(key=lambda r: r.scans_per_second)
+    med = runs[len(runs) // 2]
+    rates = [r.scans_per_second for r in runs]
     return {
         "dataset": dataset,
-        "scans_per_s": round(best.scans_per_second, 3),
-        "kernel_evals_per_s": round(best.map.stats["kernel_evals"] / best.total_seconds, 1),
+        "scans_per_s": round(med.scans_per_second, 3),      # median of N
+        "scans_per_s_min": round(min(rates), 3),
+        "scans_per_s_max": round(max(rates), 3),
+        "kernel_evals_per_s": round(med.map.stats["kernel_evals"] / med.total_seconds, 1),
         "warmup_s": round(warm_s, 1),
     }
 
@@ -95,6 +100,16 @@ def main() -> int:
         method, dataset = sys.argv[2], sys.argv[3]
         print(json.dumps(run_one(method, dataset)))
         return 0
+
+    # build the native host-preprocessing library once up front so no
+    # method's warmup pays the g++ build
+    try:
+        sys.path.insert(0, REPO)
+        from la3dm_tpu.geometry import native as _native
+
+        _native.available()
+    except Exception:
+        pass
 
     # each method in its own process: tunnel/device state degrades within
     # long-lived processes, and the persistent compilation cache carries the

@@ -84,9 +84,12 @@ def cmd_static(args) -> int:
 
 def cmd_server(args) -> int:
     cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    from la3dm_tpu.io.pcd import load_pcd_full
+    from la3dm_tpu.pipeline import OnlineIntegrator
+
     m = build_map(cfg)
+    online = OnlineIntegrator(m)  # motion gate + pre-downsample (server.cpp)
     seen = set()
-    from la3dm_tpu.io.pcd import load_pcd
 
     print(f"Watching {args.watch} for scans (Ctrl-C to stop)")
     try:
@@ -95,9 +98,12 @@ def cmd_server(args) -> int:
                 if path in seen:
                     continue
                 seen.add(path)
-                cloud, origin = load_pcd(path)
+                cloud, origin, quat = load_pcd_full(path)
                 t0 = time.perf_counter()
-                m.insert_pointcloud(cloud, origin)
+                if not online.offer(cloud, origin, quat):
+                    print(f"Skipped {os.path.basename(path)} (motion gate)",
+                          flush=True)
+                    continue
                 print(f"One cloud finished in {time.perf_counter() - t0:.3f}s "
                       f"({os.path.basename(path)}, {len(cloud)} pts)", flush=True)
                 if args.out:
@@ -118,35 +124,23 @@ def cmd_server(args) -> int:
 def cmd_bag(args) -> int:
     """Replay a ROS bag through the online pipeline (the reference server's
     role: cloudHandler per message with a motion gate, bgkoctomap_server.cpp:44-89)."""
-    from la3dm_tpu.geometry.preprocess import voxel_downsample
     from la3dm_tpu.io.rosbag import replay
-
-    from la3dm_tpu.io.rosbag import quat_angle
+    from la3dm_tpu.pipeline import OnlineIntegrator
 
     cfg = load_method_config(args.method, **_parse_overrides(args.set))
     m = build_map(cfg)
-    last_pos = last_quat = None
-    n_used = 0
+    online = OnlineIntegrator(m)  # motion gate + pre-downsample (server.cpp)
     t_all = time.perf_counter()
     for cloud, origin, quat in replay(args.bag, cloud_topic=args.cloud_topic,
                                       pose_topic=args.pose_topic,
                                       with_orientation=True):
-        # motion gate: integrate only if moved > 0.1 m or rotated > 0.2 rad
-        # (server.cpp:17-20,60)
-        if (last_pos is not None and n_used
-                and np.linalg.norm(origin - last_pos) <= 0.1
-                and quat_angle(quat, last_quat) <= 0.2):
-            continue
-        last_pos, last_quat = origin, quat
         t0 = time.perf_counter()
-        if cfg.method != "bgklv":
-            # the server pre-downsamples before insert (server.cpp:70-82)
-            cloud = voxel_downsample(cloud, cfg.ds_resolution)
-        m.insert_pointcloud(cloud, origin)
-        n_used += 1
+        if not online.offer(cloud, origin, quat):
+            continue
         print(f"One cloud finished in {time.perf_counter() - t0:.3f}s "
               f"({len(cloud)} pts)", flush=True)
-    print(f"{n_used} clouds integrated in {time.perf_counter() - t_all:.3f}s; "
+    print(f"{online.n_integrated} clouds integrated "
+          f"({online.n_skipped} gated) in {time.perf_counter() - t_all:.3f}s; "
           f"{m.pool.n_blocks} blocks")
     if args.out:
         ex = export_leaves(m, original_size=cfg.original_size)

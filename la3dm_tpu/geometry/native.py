@@ -48,7 +48,7 @@ def _load():
             f32p, ctypes.c_int, f32p,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             f32p, ip, f32p, ip, f32p, i32p, ip,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
         ]
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.lv_tile_tables.restype = ctypes.c_int
@@ -112,11 +112,12 @@ def lv_training_data(cloud: np.ndarray, origin: np.ndarray, ds: float, fr: float
         samples = np.empty((max_s, 3), np.float32)
         sample_ray = np.empty(max_s, np.int32)
         nh, nr, ns = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        bbox = np.empty(6, np.float32)
         rc = lib.lv_training_data(
             cloud.reshape(-1), n, origin, ds, fr, max_range, ell,
             hits.reshape(-1), ctypes.byref(nh), rays.reshape(-1), ctypes.byref(nr),
             samples.reshape(-1), sample_ray, ctypes.byref(ns),
-            max_h, max_r, max_s)
+            max_h, max_r, max_s, bbox)
         if rc == 0:
             break
         max_h *= 2
@@ -125,7 +126,8 @@ def lv_training_data(cloud: np.ndarray, origin: np.ndarray, ds: float, fr: float
     return SegmentTrainingData(
         hits=hits[:nh.value].copy(), rays=rays[:nr.value].copy(),
         samples=samples[:ns.value].copy(),
-        sample_ray=sample_ray[:ns.value].astype(np.int64))
+        sample_ray=sample_ray[:ns.value].astype(np.int64),
+        bbox=bbox.reshape(2, 3).copy() if (nh.value or ns.value) else None)
 
 
 def lv_tile_tables(hits: np.ndarray, samples: np.ndarray, sample_ray: np.ndarray,

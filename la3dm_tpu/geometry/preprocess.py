@@ -110,6 +110,10 @@ class SegmentTrainingData:
     rays: np.ndarray        # [R,6] f32 free segments (start,end)
     samples: np.ndarray     # [S,3] f32 free sample points (incl. ray origins)
     sample_ray: np.ndarray  # [S]   int64 ray id per sample
+    #: optional [2,3] (min,max) over hits ∪ samples — the R-tree extent used
+    #: by the candidate block sweep; filled by the native path to spare a
+    #: host reduction over the sample table
+    bbox: np.ndarray | None = None
 
 
 def bgk_training_data(cloud: np.ndarray, origin: np.ndarray, ds_resolution: float,

@@ -66,6 +66,27 @@ def load_pcd(path: str) -> tuple[np.ndarray, np.ndarray]:
     return pts[finite], origin
 
 
+def load_pcd_full(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`load_pcd`, plus the VIEWPOINT orientation.
+
+    Returns (points [N,3], origin [3], quat [4] xyzw).  The PCD VIEWPOINT
+    field is ``tx ty tz qw qx qy qz``; reordered here to xyzw to match the
+    rosbag pose convention (io/rosbag.py) for the server motion gate.
+    """
+    pts, origin = load_pcd(path)
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    quat = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    for line in head.split(b"\n"):
+        if line.startswith(b"VIEWPOINT"):
+            vals = [float(x) for x in line.split()[1:]]
+            if len(vals) >= 7:
+                w, x, y, z = vals[3:7]
+                quat = np.array([x, y, z, w], np.float32)
+            break
+    return pts, origin, quat
+
+
 def save_pcd(path: str, points: np.ndarray, origin=(0.0, 0.0, 0.0)) -> None:
     points = np.asarray(points, np.float32).reshape(-1, 3)
     header = (

@@ -369,10 +369,16 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         if tables is None:
             return None
         # training-data bbox over hits ∪ ray proxy samples (reference sweeps
-        # the R-tree extent, bgkloctomap.cpp:409-418) — reduce without concat
-        parts = [p for p in (td.hits, td.samples) if len(p)]
-        lim_min = np.minimum.reduce([p.min(0) for p in parts]).astype(np.float64)
-        lim_max = np.maximum.reduce([p.max(0) for p in parts]).astype(np.float64)
+        # the R-tree extent, bgkloctomap.cpp:409-418); the native path
+        # returns it precomputed — the reduce over ~100k samples costs ~2 ms
+        # per scan on host otherwise
+        if td.bbox is not None:
+            lim_min = td.bbox[0].astype(np.float64)
+            lim_max = td.bbox[1].astype(np.float64)
+        else:
+            parts = [p for p in (td.hits, td.samples) if len(p)]
+            lim_min = np.minimum.reduce([p.min(0) for p in parts]).astype(np.float64)
+            lim_max = np.maximum.reduce([p.max(0) for p in parts]).astype(np.float64)
         (active_keys, h_start, h_count, r_start, r_count,
          hits_sorted, rays_sorted) = tables
 

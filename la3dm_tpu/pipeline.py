@@ -103,6 +103,56 @@ def run_static(cfg: MapConfig, ds: DatasetConfig,
     return StaticRunResult(map=m, per_scan_seconds=per_scan, total_seconds=total)
 
 
+class OnlineIntegrator:
+    """The reference server's cloudHandler policy, shared by the directory
+    watcher and the bag replayer (``src/bgkoctomap/bgkoctomap_server.cpp``):
+
+    * motion gate — integrate only if the sensor moved > 0.1 m or rotated
+      > 0.2 rad since the last *integrated* cloud (:17-20, :60);
+    * pre-downsample the cloud with a ds_resolution voxel grid before
+      ``insert_pointcloud`` — except BGKLV, whose server passes the raw
+      cloud through (:70-82; bgklvoctomap_server.cpp:76-77).
+    """
+
+    POS_GATE = 0.1   # m   (server.cpp:17)
+    ROT_GATE = 0.2   # rad (server.cpp:18)
+
+    def __init__(self, m: OccupancyMapBase):
+        self.map = m
+        self._last_pos = None
+        self._last_quat = None
+        self.n_integrated = 0
+        self.n_skipped = 0
+
+    def offer(self, cloud: np.ndarray, origin: np.ndarray,
+              quat: Optional[np.ndarray] = None) -> bool:
+        """Integrate the cloud unless the motion gate rejects it.
+
+        Returns True if integrated.  ``quat`` is the sensor orientation
+        (xyzw); None disables the rotation check for that cloud.
+        """
+        from la3dm_tpu.geometry.preprocess import voxel_downsample
+        from la3dm_tpu.io.rosbag import quat_angle
+
+        origin = np.asarray(origin, np.float32).reshape(3)
+        if self._last_pos is not None:
+            moved = float(np.linalg.norm(origin - self._last_pos)) > self.POS_GATE
+            rotated = (quat is not None and self._last_quat is not None
+                       and quat_angle(quat, self._last_quat) > self.ROT_GATE)
+            if not (moved or rotated):
+                self.n_skipped += 1
+                return False
+        self._last_pos, self._last_quat = origin, quat
+        cfg = self.map.cfg
+        if cfg.method != "bgklv":
+            # server pre-downsample (server.cpp:70-82); the BGKLV server
+            # skips it and passes ds_resolution through
+            cloud = voxel_downsample(cloud, cfg.ds_resolution)
+        self.map.insert_pointcloud(cloud, origin)
+        self.n_integrated += 1
+        return True
+
+
 def export_leaves(m: OccupancyMapBase, original_size: bool = False) -> dict:
     """Occupied + free leaf sets with the static nodes' display semantics:
     OCCUPIED leaves (height coloring domain) and FREE leaves (probability

@@ -82,14 +82,18 @@ extern "C" {
 
 // LV training data (bgklvoctomap.cpp:303-423 semantics).
 // Outputs: hits [<=n,3], rays [<=n,6] (free_origin, free_endpt),
-// samples [<=max_samples,3] + sample_ray.  Returns 0 on success, -1 if an
-// output buffer is too small.
+// samples [<=max_samples,3] + sample_ray; bbox6_out = (min3, max3) over
+// hits ∪ samples — the R-tree extent driving the candidate block sweep
+// (bgkloctomap.cpp:409-418), computed here to spare a host pass over the
+// ~100k-row sample table.  Returns 0 on success, -1 if an output buffer is
+// too small.
 int lv_training_data(const float* cloud, int n_cloud, const float* origin3,
                      float ds, float fr, float max_range, float ell,
                      float* hits_out, int* n_hits_out,
                      float* rays_out, int* n_rays_out,
                      float* samples_out, int32_t* sample_ray_out, int* n_samples_out,
-                     int max_hits, int max_rays, int max_samples) {
+                     int max_hits, int max_rays, int max_samples,
+                     float* bbox6_out) {
   std::vector<V3> hits;
   Downsample(cloud, n_cloud, ds, &hits);
   const int H = (int)hits.size();
@@ -186,6 +190,25 @@ int lv_training_data(const float* cloud, int n_cloud, const float* origin3,
   *n_hits_out = nh;
   *n_rays_out = nr;
   *n_samples_out = ns;
+  if (bbox6_out) {
+    float mn[3] = {0, 0, 0}, mx[3] = {0, 0, 0};
+    bool any = false;
+    auto fold = [&](const float* p, int cnt, int stride) {
+      for (int i = 0; i < cnt; ++i) {
+        const float* q = p + stride * i;
+        if (!any) { for (int a = 0; a < 3; ++a) { mn[a] = q[a]; mx[a] = q[a]; } any = true; }
+        else {
+          for (int a = 0; a < 3; ++a) {
+            if (q[a] < mn[a]) mn[a] = q[a];
+            if (q[a] > mx[a]) mx[a] = q[a];
+          }
+        }
+      }
+    };
+    fold(hits_out, nh, 3);
+    fold(samples_out, ns, 3);
+    for (int a = 0; a < 3; ++a) { bbox6_out[a] = mn[a]; bbox6_out[3 + a] = mx[a]; }
+  }
   return 0;
 }
 

@@ -149,3 +149,52 @@ def test_cli_query(tmp_path):
         capture_output=True, text=True, env=env, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert r.stdout.count("prob=") == 2
+
+
+def test_server_motion_gate(tmp_path):
+    """The directory-watch server applies the reference cloudHandler policy:
+    duplicate-pose scans are gated out (moved ≤ 0.1 m and rotated ≤ 0.2 rad,
+    bgkoctomap_server.cpp:17-20,60) and clouds are pre-downsampled before
+    integration (:70-82)."""
+    import numpy as np
+    from la3dm_tpu.pipeline import OnlineIntegrator, build_map
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = load_method_config("bgk", max_range=8.0)
+    m = build_map(cfg)
+    online = OnlineIntegrator(m)
+    rng = np.random.default_rng(3)
+    cloud = (rng.random((300, 3)) * 4 + 1).astype(np.float32)
+    origin = np.zeros(3, np.float32)
+    ident = np.array([0, 0, 0, 1], np.float32)
+
+    assert online.offer(cloud, origin, ident)                 # first always in
+    assert not online.offer(cloud, origin + 0.05, ident)      # gated: tiny move
+    assert online.n_skipped == 1
+    assert online.offer(cloud, origin + 0.25, ident)          # moved enough
+    # rotation alone (> 0.2 rad about z) passes the gate too
+    rot = np.array([0, 0, np.sin(0.15), np.cos(0.15)], np.float32)  # 0.3 rad
+    assert online.offer(cloud, origin + 0.25, rot)
+    assert online.n_integrated == 3
+
+
+def test_server_cli_gates_duplicate_scans(tmp_path):
+    """cmd_server end-to-end: a scan re-saved with the same VIEWPOINT is
+    skipped by the motion gate."""
+    import numpy as np
+    from la3dm_tpu import cli
+    from la3dm_tpu.io.pcd import save_pcd
+
+    rng = np.random.default_rng(4)
+    cloud = (rng.random((200, 3)) * 4 + 1).astype(np.float32)
+    watch = tmp_path / "scans"
+    watch.mkdir()
+    save_pcd(str(watch / "a_1.pcd"), cloud, origin=(0.0, 0.0, 0.0))
+    save_pcd(str(watch / "a_2.pcd"), cloud, origin=(0.0, 0.0, 0.05))  # dup pose
+    save_pcd(str(watch / "a_3.pcd"), cloud, origin=(0.5, 0.0, 0.0))
+    out = str(tmp_path / "srv")
+    rc = cli.main(["server", "--method", "bgk", "--watch", str(watch),
+                   "--once", "--out", out, "--set", "max_range=8.0"])
+    assert rc == 0
+    import os
+    assert os.path.exists(out + "_map.npz")
