@@ -150,6 +150,65 @@ def cmd_bag(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Score a map against the bundled OctoMap ground truth.
+
+    The reference ships ``data/<ds>/map.bt`` (OctoMap binary, labeled) and
+    ``data/sim_structured/sim_structured_octomap.csv`` (its unlabeled leaf
+    dump) as evaluation artifacts no reference code reads (SURVEY.md §6).
+    Builds the map with the static pipeline, expands the ground truth to
+    base-resolution voxels, queries the posterior at each center, and
+    reports occupancy agreement + an AUC threshold sweep (the papers'
+    comparison style, README.md:48-101).
+    """
+    from la3dm_tpu.io.octomap_bt import expand_to_voxels, read_bt
+
+    cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    ds = load_dataset_config(args.dataset)
+    if args.scan_num:
+        ds = type(ds)(**{**ds.__dict__, "scan_num": args.scan_num})
+    bt_path = args.ground_truth or os.path.join(ds.dir, "map.bt")
+    bt = read_bt(bt_path)
+    gt = expand_to_voxels(bt)
+
+    res = run_static(cfg, ds)
+    m = res.map
+    out = m.search(gt["centers"].astype(np.float32))
+    know = out["touched"]
+    y = gt["occupied"]
+    p = out["prob"]
+
+    # threshold sweep (AUC over the known voxels, trapezoidal)
+    ths = np.linspace(0.0, 1.0, 201)
+    tpr, fpr = [], []
+    yk, pk = y[know], p[know]
+    P, N = max(int(yk.sum()), 1), max(int((~yk).sum()), 1)
+    for t in ths:
+        pred = pk > t
+        tpr.append(float((pred & yk).sum()) / P)
+        fpr.append(float((pred & ~yk).sum()) / N)
+    auc = float(np.trapezoid(tpr[::-1], fpr[::-1]))
+
+    pred_occ = pk > cfg.occupied_thresh
+    acc = float((pred_occ == yk).mean())
+    prec = float((pred_occ & yk).sum() / max(int(pred_occ.sum()), 1))
+    rec = float((pred_occ & yk).sum() / P)
+    report = {
+        "method": cfg.method,
+        "dataset": ds.name,
+        "gt_voxels": int(len(y)),
+        "known": int(know.sum()),
+        "coverage": round(float(know.mean()), 4),
+        "accuracy_at_thresh": round(acc, 4),
+        "precision_occ": round(prec, 4),
+        "recall_occ": round(rec, 4),
+        "auc": round(auc, 4),
+        "scans_per_s": round(res.scans_per_second, 2),
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Load a checkpoint and query points (the search() API as a CLI)."""
     cfg = load_method_config(args.method, **_parse_overrides(args.set))
@@ -194,6 +253,16 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="")
     _add_overrides(p)
     p.set_defaults(fn=cmd_bag)
+
+    p = sub.add_parser("eval", help="score a map against the bundled OctoMap "
+                                    "ground truth (map.bt)")
+    p.add_argument("--method", default="bgklv")
+    p.add_argument("--dataset", default="sim_structured")
+    p.add_argument("--scan-num", type=int, default=0)
+    p.add_argument("--ground-truth", default="",
+                   help="path to a .bt file (default: <dataset dir>/map.bt)")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("query", help="query a saved map checkpoint")
     p.add_argument("--method", default="bgklv")

@@ -69,8 +69,14 @@ class BlockPool:
     families share.
     """
 
-    def __init__(self, voxels_per_block: int, fields: dict[str, float], capacity: int = 8192):
+    def __init__(self, voxels_per_block: int, fields: dict[str, float],
+                 capacity: int | None = None):
         self.V = voxels_per_block
+        if capacity is None:
+            # initial allocation ≤ ~32 MiB per field: deep trees (block_depth
+            # 6 ⇒ V = 32768, the *_large_map configs) would otherwise eat
+            # ~1 GiB per field before the first scan; growth doubles on demand
+            capacity = max(256, min(8192, (1 << 23) // max(voxels_per_block, 1)))
         self.capacity = capacity
         self.n_blocks = 0
         self._slot_of: dict[int, int] = {}
@@ -217,7 +223,9 @@ class OccupancyMapBase:
             vals = np.asarray(arr)[safe, vidx]
             out[name] = np.where(exists, vals, np.float32(self.FIELD_FILLS[name]))
         out["touched"] = np.where(exists, np.asarray(self.pool.touched)[safe, vidx], False)
-        return self._posterior(out)
+        post = self._posterior(out)
+        post["touched"] = out["touched"]  # evidence flag alongside the posterior
+        return post
 
     def _posterior(self, fields: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         raise NotImplementedError

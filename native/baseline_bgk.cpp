@@ -229,7 +229,12 @@ int main(int argc, char** argv) {
   }
   const std::string dir = argv[1], prefix = argv[2];
   const int scan_num = std::atoi(argv[3]);
-  const bool json = argc > 4 && std::string(argv[4]) == "--json";
+  bool json = false;
+  std::string dump_path;
+  for (int a = 4; a < argc; ++a) {
+    if (std::string(argv[a]) == "--json") json = true;
+    else if (std::string(argv[a]) == "--dump" && a + 1 < argc) dump_path = argv[++a];
+  }
 
   Map map;
   double total = 0;
@@ -246,6 +251,32 @@ int main(int argc, char** argv) {
     double dt = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
     total += dt;
     if (!json) std::printf("scan %d: %.3fs\n", i, dt);
+  }
+  if (!dump_path.empty()) {
+    // independent accuracy anchor: per-voxel posterior dump (x,y,z,prob,var)
+    // with the reference Beta posterior (bgkoctree_node.cpp:27-29,
+    // bgkoctree_node.h:60), compared against the JAX map by tests/
+    // test_cpp_dump.py within the ≤1e-2 MAE budget (BASELINE.md)
+    FILE* f = std::fopen(dump_path.c_str(), "w");
+    if (!f) { std::fprintf(stderr, "cannot write %s\n", dump_path.c_str()); return 1; }
+    std::fprintf(f, "x,y,z,prob,var\n");
+    for (const auto& kv : map.blocks) {
+      const float cx = kv.first.x * kBlockSize, cy = kv.first.y * kBlockSize,
+                  cz = kv.first.z * kBlockSize;
+      for (int vz = 0; vz < kN; ++vz)
+        for (int vy = 0; vy < kN; ++vy)
+          for (int vx = 0; vx < kN; ++vx) {
+            const int v = vx + vy * kN + vz * kN * kN;
+            const float A = kv.second.A[v], B = kv.second.B[v];
+            const float prob = A / (A + B);
+            const float var = (A * B) / ((A + B) * (A + B) * (A + B + 1.0f));
+            std::fprintf(f, "%.9g,%.9g,%.9g,%.9g,%.9g\n",
+                         cx + (vx - kN / 2 + 0.5f) * kResolution,
+                         cy + (vy - kN / 2 + 0.5f) * kResolution,
+                         cz + (vz - kN / 2 + 0.5f) * kResolution, prob, var);
+          }
+    }
+    std::fclose(f);
   }
   if (json) {
     std::printf("{\"scans\": %d, \"total_s\": %.6f, \"scans_per_s\": %.6f, "

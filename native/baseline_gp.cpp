@@ -254,7 +254,12 @@ int main(int argc, char** argv) {
   }
   const std::string dir = argv[1], prefix = argv[2];
   const int scan_num = std::atoi(argv[3]);
-  const bool json = argc > 4 && std::string(argv[4]) == "--json";
+  bool json = false;
+  std::string dump_path;
+  for (int a = 4; a < argc; ++a) {
+    if (std::string(argv[a]) == "--json") json = true;
+    else if (std::string(argv[a]) == "--dump" && a + 1 < argc) dump_path = argv[++a];
+  }
   Map map;
   double total = 0;
   for (int i = 1; i <= scan_num; ++i) {
@@ -266,6 +271,31 @@ int main(int argc, char** argv) {
     map.Insert(cloud, origin);
     total += std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
     if (!json) std::printf("scan %d done\n", i);
+  }
+  if (!dump_path.empty()) {
+    // per-voxel (x,y,z,prob,var): logistic squash of the BCM information
+    // state (gpoctree_node.cpp:31-34); independent anchor for
+    // tests/test_cpp_dump.py
+    FILE* f = std::fopen(dump_path.c_str(), "w");
+    if (!f) return 1;
+    std::fprintf(f, "x,y,z,prob,var\n");
+    const float kL = 100.0f;  // gpoctomap.yaml `l`
+    for (const auto& kv : map.blocks) {
+      const float cx = kv.first.x * kBs, cy = kv.first.y * kBs, cz = kv.first.z * kBs;
+      for (int vz = 0; vz < kN; ++vz)
+        for (int vy = 0; vy < kN; ++vy)
+          for (int vx = 0; vx < kN; ++vx) {
+            const int v = vx + vy * kN + vz * kN * kN;
+            const float mi = kv.second[2 * v], iv = kv.second[2 * v + 1];
+            const float prob = 1.0f / (1.0f + std::exp(-kL * mi / kMaxIvar));
+            const float var = iv > 0 ? 1.0f / iv : 1e30f;
+            std::fprintf(f, "%.9g,%.9g,%.9g,%.9g,%.9g\n",
+                         cx + (vx - kN / 2 + 0.5f) * kRes,
+                         cy + (vy - kN / 2 + 0.5f) * kRes,
+                         cz + (vz - kN / 2 + 0.5f) * kRes, prob, var);
+          }
+    }
+    std::fclose(f);
   }
   if (json) {
     std::printf("{\"scans\": %d, \"total_s\": %.6f, \"scans_per_s\": %.6f, "

@@ -391,7 +391,12 @@ int main(int argc, char** argv) {
   }
   const std::string mode = argv[1], dir = argv[2], prefix = argv[3];
   const int scan_num = std::atoi(argv[4]);
-  const bool json = argc > 5 && std::string(argv[5]) == "--json";
+  bool json = false;
+  std::string dump_path;
+  for (int a = 5; a < argc; ++a) {
+    if (std::string(argv[a]) == "--json") json = true;
+    else if (std::string(argv[a]) == "--dump" && a + 1 < argc) dump_path = argv[++a];
+  }
   const Params P = (mode == "bgklv") ? BgklvParams() : BgklParams();
   Map map(P);
   double total = 0;
@@ -409,6 +414,44 @@ int main(int argc, char** argv) {
     double dt = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
     total += dt;
     if (!json) std::printf("scan %d: %.3fs\n", i, dt);
+  }
+  if (!dump_path.empty()) {
+    // per-voxel (x,y,z,prob,var): BGKL Beta posterior or the BGKLV
+    // evidence-mass posterior with explicit unknown mass + Brier-style
+    // variance (bgklvoctree_node.cpp:29-62); anchor for tests/test_cpp_dump.py
+    FILE* f = std::fopen(dump_path.c_str(), "w");
+    if (!f) return 1;
+    std::fprintf(f, "x,y,z,prob,var\n");
+    const bool lv = mode == "bgklv";
+    const float kMinW = 0.001f;  // bgklvoctomap.yaml min_W
+    for (const auto& kv : map.blocks) {
+      const float cx = kv.first.x * map.block_size, cy = kv.first.y * map.block_size,
+                  cz = kv.first.z * map.block_size;
+      const int kN = map.kN;
+      for (int vz = 0; vz < kN; ++vz)
+        for (int vy = 0; vy < kN; ++vy)
+          for (int vx = 0; vx < kN; ++vx) {
+            const int v = vx + vy * kN + vz * kN * kN;
+            const float A = kv.second[2 * v], B = kv.second[2 * v + 1];
+            float prob, var;
+            if (lv) {
+              const float W = std::max(A + B, kMinW);
+              prob = (A > B) ? A / (W - B) + (W - A - B) * 0.5f / (W - B)
+                             : 0.5f * (W - B - A) / (W - A);
+              var = (A / W) * (1 - prob) * (1 - prob)
+                  + ((W - A - B) / W) * (0.5f - prob) * (0.5f - prob)
+                  + (B / W) * prob * prob;
+            } else {
+              prob = A / (A + B);
+              var = (A * B) / ((A + B) * (A + B) * (A + B + 1.0f));
+            }
+            std::fprintf(f, "%.9g,%.9g,%.9g,%.9g,%.9g\n",
+                         cx + (vx - kN / 2 + 0.5f) * P.resolution,
+                         cy + (vy - kN / 2 + 0.5f) * P.resolution,
+                         cz + (vz - kN / 2 + 0.5f) * P.resolution, prob, var);
+          }
+    }
+    std::fclose(f);
   }
   if (json) {
     std::printf("{\"mode\": \"%s\", \"scans\": %d, \"total_s\": %.6f, "

@@ -1,0 +1,119 @@
+"""Accuracy anchored to the independent C++ implementations.
+
+Round-1 accuracy evidence flowed through tests/oracle — a numpy mirror
+written alongside the framework.  These tests close that loop: the
+single-core C++ baselines in native/ (independently written, standalone
+PCD parsing, hash-map bucketing) dump their per-voxel posterior
+(x, y, z, prob, var) via ``--dump`` and the JAX maps must agree within the
+BASELINE.md budget (≤1e-2 mean-abs posterior deviation) on the bundled
+real scans.
+
+Known, bounded divergence: the C++ stand-ins do not implement per-scan
+pruning (the JAX maps do, as the reference does), which shifts <0.2% of
+voxels (measured: deferred-vs-per-scan prune MAE ≈ 1.3e-3); the MAE budget
+absorbs it.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NATIVE = os.path.join(REPO, "native")
+DATA = "/root/reference/data"
+
+
+def _build(name):
+    exe = os.path.join(NATIVE, name)
+    src = exe + ".cpp"
+    if shutil.which("g++") is None:
+        pytest.skip("no native toolchain")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(["g++", "-O3", "-march=native", "-ffast-math",
+                        "-o", exe, src], check=True)
+    return exe
+
+
+def _dump(exe, args, tmp_path):
+    out = str(tmp_path / "dump.csv")
+    subprocess.run([exe, *args, "--json", "--dump", out],
+                   check=True, capture_output=True, timeout=300)
+    rows = np.loadtxt(out, delimiter=",", skiprows=1)
+    return rows  # x,y,z,prob,var
+
+
+def _compare(m, rows, atol, var_atol=None):
+    """Join the C++ dump's voxels against the JAX map's search()."""
+    pts = rows[:, :3].astype(np.float32)
+    out = m.search(pts)
+    # compare where either side saw evidence (both default to the prior
+    # elsewhere; untouched C++ voxels exist because its sweep materializes
+    # whole blocks)
+    active = out["touched"] | (np.abs(rows[:, 3] - rows[rows[:, 3].argmin(), 3]) > 0)
+    prob_dev = np.abs(out["prob"] - rows[:, 3])
+    mae = float(prob_dev[active].mean()) if active.any() else 0.0
+    assert active.sum() > 1000
+    assert mae <= atol, f"prob MAE {mae} > {atol} over {int(active.sum())} voxels"
+    if var_atol is not None:
+        var_dev = np.abs(out["var"] - rows[:, 4])
+        vmae = float(var_dev[active & out["touched"]].mean())
+        assert vmae <= var_atol, f"var MAE {vmae}"
+    return mae
+
+
+def test_bgk_matches_cpp_dump(tmp_path):
+    from la3dm_tpu.models.bgk import BGKOctoMap
+    from la3dm_tpu.utils.config import load_method_config
+    from la3dm_tpu.io.pcd import load_pcd
+
+    exe = _build("baseline_bgk")
+    n = 4
+    rows = _dump(exe, [f"{DATA}/sim_structured", "sim_structured", str(n)], tmp_path)
+    cfg = load_method_config("bgk")
+    m = BGKOctoMap(cfg)
+    scans = [load_pcd(f"{DATA}/sim_structured/sim_structured_{i}.pcd")
+             for i in range(1, n + 1)]
+    m.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                         ds_resolution=cfg.resolution, max_range=8.0)
+    _compare(m, rows, atol=1e-2, var_atol=1e-2)
+
+
+def test_gp_matches_cpp_dump(tmp_path):
+    from la3dm_tpu.models.gp import GPOctoMap
+    from la3dm_tpu.utils.config import load_method_config
+    from la3dm_tpu.io.pcd import load_pcd
+
+    exe = _build("baseline_gp")
+    n = 3
+    rows = _dump(exe, [f"{DATA}/sim_unstructured", "sim_unstructured", str(n)], tmp_path)
+    cfg = load_method_config("gp")
+    m = GPOctoMap(cfg)
+    scans = [load_pcd(f"{DATA}/sim_unstructured/sim_unstructured_{i}.pcd")
+             for i in range(1, n + 1)]
+    m.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                         ds_resolution=cfg.resolution, max_range=8.0)
+    # var skipped: the C++ stand-in seeds ivar at 0 (vs the node default
+    # 1/max_var) — probabilities are unaffected
+    _compare(m, rows, atol=1e-2)
+
+
+def test_bgklv_matches_cpp_dump(tmp_path):
+    from la3dm_tpu.models.bgklv import BGKLVOctoMap
+    from la3dm_tpu.utils.config import load_method_config
+    from la3dm_tpu.io.pcd import load_pcd
+
+    exe = _build("baseline_lv")
+    n = 3
+    rows = _dump(exe, ["bgklv", f"{DATA}/sim_structured", "sim_structured", str(n)],
+                 tmp_path)
+    cfg = load_method_config("bgklv")
+    m = BGKLVOctoMap(cfg)
+    scans = [load_pcd(f"{DATA}/sim_structured/sim_structured_{i}.pcd")
+             for i in range(1, n + 1)]
+    m.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                         ds_resolution=cfg.resolution, max_range=8.0)
+    _compare(m, rows, atol=1e-2, var_atol=1e-2)

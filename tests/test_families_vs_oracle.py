@@ -89,3 +89,47 @@ def test_gp_multi_scan(rng):
         om.insert_pointcloud(cloud, origin, GP_CFG.ds_resolution, GP_CFG.free_resolution,
                              GP_CFG.max_range)
     compare_maps(fast, om, atol=1e-1, rtol=0.05)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("LA3DM_SLOW_TESTS"),
+                    reason="~5 min CPU compile at depth-6 shapes; "
+                           "set LA3DM_SLOW_TESTS=1 (verified green 2026-08-19; "
+                           "TPU feasibility recorded in BASELINE.md)")
+def test_bgklv_large_map_depth6(rng):
+    """The bgklvoctomap_large_map shape point: block_depth 6 ⇒ V = 32³ voxels
+    per block (the reason the reference widened its node keys,
+    bgklvoctree.cpp:9-16).  The dense pool auto-scales its initial capacity,
+    the tile engine addresses [capacity·V] flat, and posteriors match the
+    literal-semantics oracle."""
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = load_method_config("bgklvoctomap_large_map", max_range=8.0,
+                             original_size=False)
+    assert cfg.block_depth == 6 and cfg.voxels_per_block == 32768
+    cloud, origin = synthetic_scan(rng, n=40)
+    fast = BGKLVOctoMap(cfg)
+    # initial pool allocation is bounded (not 8192 blocks × 32³ voxels)
+    assert fast.pool.capacity * fast.pool.V <= (1 << 23)
+    fast.insert_pointcloud(cloud, origin)
+    om = OracleBGKLV(cfg)
+    om.insert_pointcloud(cloud, origin, cfg.ds_resolution, cfg.free_resolution,
+                         cfg.max_range)
+    n, dev = compare_maps(fast, om, atol=5e-3, touched_mass_tol=5e-3)
+    assert n > 0
+
+
+def test_gp_large_map_depth4(rng):
+    """gpoctomap_large_map: block_depth 4 ⇒ V = 512, prune over 3 levels,
+    overflow-tier Cholesky path — vs the oracle."""
+    from la3dm_tpu.utils.config import load_method_config
+
+    cfg = load_method_config("gpoctomap_large_map", max_range=8.0)
+    assert cfg.block_depth == 4
+    cloud, origin = synthetic_scan(rng, n=40)
+    fast = GPOctoMap(cfg)
+    fast.insert_pointcloud(cloud, origin)
+    om = OracleGP(cfg)
+    om.insert_pointcloud(cloud, origin, cfg.ds_resolution, cfg.free_resolution,
+                         cfg.max_range)
+    n, dev = compare_maps(fast, om, atol=5e-3)
+    assert n > 0
