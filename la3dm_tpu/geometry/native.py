@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -21,25 +22,39 @@ _SRC = os.path.join(_NATIVE_DIR, "host_preprocess.cpp")
 
 _lib = None
 _tried = False
+_load_lock = threading.Lock()  # insert_pointclouds preprocesses in a pool
 
 
 def _load():
     global _lib, _tried
-    if _tried:
+    if _tried:  # benign race: worst case a few threads fall through to the lock
         return _lib
-    _tried = True
-    try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            # -ffp-contract=off: no FMA contraction — float expressions round
-            # exactly like numpy's, keeping training points bit-identical to
-            # the numpy path (the k̄ update gate sits on the sparse kernel's
-            # support boundary, so ulps matter)
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                 "-shared", "-fPIC", "-o", _SO, _SRC],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO)
+    with _load_lock:
+        if _tried:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                # -ffp-contract=off: no FMA contraction — float expressions
+                # round exactly like numpy's, keeping training points
+                # bit-identical to the numpy path (the k̄ update gate sits on
+                # the sparse kernel's support boundary, so ulps matter).
+                # Build to a temp path + atomic rename so a concurrent process
+                # never dlopens a partially written library.
+                tmp = f"{_SO}.build.{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                     "-shared", "-fPIC", "-o", tmp, _SRC],
+                    check=True, capture_output=True)
+                os.replace(tmp, _SO)
+            _lib = _bind(ctypes.CDLL(_SO))
+        except Exception:
+            _lib = None
+        _tried = True
+        return _lib
+
+
+def _bind(lib):
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         ip = ctypes.POINTER(ctypes.c_int)
@@ -81,10 +96,7 @@ def _load():
             f32p, ip, f32p, ip, f32p, i32p, ip,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
-        _lib = lib
-    except Exception:
-        _lib = None
-    return _lib
+        return lib
 
 
 def available() -> bool:

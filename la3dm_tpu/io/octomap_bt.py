@@ -49,8 +49,11 @@ def read_bt(path: str) -> dict:
             res = float(v)
         elif k == "data":
             break
-    if tree_id not in ("OcTree", "ColorOcTree"):
-        raise ValueError(f"unsupported octomap id {tree_id!r}")
+    # only the plain OcTree .bt 2-bit bitstream is implemented; a ColorOcTree
+    # (.ot payload: floats + RGB per node) would silently misparse, so reject
+    if tree_id != "OcTree":
+        raise ValueError(f"unsupported octomap id {tree_id!r} (only 'OcTree' "
+                         f".bt bitstreams are implemented)")
     stream = np.frombuffer(raw, dtype=np.uint8, offset=off)
 
     centers: list[tuple[float, float, float]] = []

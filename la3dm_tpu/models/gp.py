@@ -47,8 +47,11 @@ _GLOBAL_PADS: dict = {}
 
 
 def _chunk_for(S: int) -> int:
-    """Model-chunk size bounding the [chunk, S, S] Cholesky workspace."""
-    return max(8, min(256, (1 << 24) // max(S * S, 1)))
+    """Model-chunk size bounding the [chunk, S, S] Cholesky workspace.
+
+    Drops to 1 for very large S so the 2^24-element bound holds even for
+    the overflow tier (S=4096 at chunk 8 would be two ~512 MiB factors)."""
+    return max(1, min(256, (1 << 24) // max(S * S, 1)))
 
 
 @functools.partial(
@@ -113,8 +116,10 @@ def _gp_heavy(acc_mean, acc_var, present, all_nodes,
     jax.jit,
     static_argnames=("G", "sf2", "min_known_ivar", "max_ivar", "n",
                      "max_level", "state_fn", "do_prune", "scan_bt"),
-    donate_argnames=("m_ivar", "ivar", "touched", "eff", "acc_mean",
-                     "acc_var", "present"),
+    # NOTE: the acc tables are NOT donated here — _gp_light has no output of
+    # their shape to alias, so donating them is a per-call "not usable"
+    # warning, not a saving (they die after their last read either way)
+    donate_argnames=("m_ivar", "ivar", "touched", "eff"),
 )
 def _gp_light(m_ivar, ivar, touched, eff, node_idx_tab,
               acc_mean, acc_var, present, slots_flat, scan_start, scan_count,

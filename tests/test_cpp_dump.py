@@ -50,10 +50,14 @@ def _compare(m, rows, atol, var_atol=None):
     """Join the C++ dump's voxels against the JAX map's search()."""
     pts = rows[:, :3].astype(np.float32)
     out = m.search(pts)
-    # compare where either side saw evidence (both default to the prior
-    # elsewhere; untouched C++ voxels exist because its sweep materializes
-    # whole blocks)
-    active = out["touched"] | (np.abs(rows[:, 3] - rows[rows[:, 3].argmin(), 3]) > 0)
+    # compare where either side saw evidence.  Untouched C++ voxels exist
+    # because its sweep materializes whole blocks; they all carry the prior
+    # probability, which (untouched voxels dominating the dump) is the mode
+    # of the prob column — so "C++ saw evidence" ⇔ prob != mode.  Trivially
+    # agreeing prior voxels would otherwise dilute the MAE.
+    vals, counts = np.unique(rows[:, 3], return_counts=True)
+    cpp_prior = vals[counts.argmax()]
+    active = out["touched"] | (rows[:, 3] != cpp_prior)
     prob_dev = np.abs(out["prob"] - rows[:, 3])
     mae = float(prob_dev[active].mean()) if active.any() else 0.0
     assert active.sum() > 1000

@@ -93,8 +93,7 @@ def test_gp_multi_scan(rng):
 
 @pytest.mark.skipif(not __import__("os").environ.get("LA3DM_SLOW_TESTS"),
                     reason="~5 min CPU compile at depth-6 shapes; "
-                           "set LA3DM_SLOW_TESTS=1 (verified green 2026-08-19; "
-                           "TPU feasibility recorded in BASELINE.md)")
+                           "set LA3DM_SLOW_TESTS=1 to run")
 def test_bgklv_large_map_depth6(rng):
     """The bgklvoctomap_large_map shape point: block_depth 6 ⇒ V = 32³ voxels
     per block (the reason the reference widened its node keys,
