@@ -160,8 +160,10 @@ class OccupancyMapBase:
         # stable jit keys: state_fn closures are created ONCE (a fresh closure
         # per call would miss the static-argnames cache and recompile per scan)
         self._state_fn = self._make_state_fn()
-        #: perf counters (kernel_evals = training-entry × voxel pairs evaluated)
-        self.stats = {"kernel_evals": 0, "scans": 0}
+        #: perf counters (kernel_evals = training-entry × voxel pairs
+        #: evaluated; host_s = wall time in host preprocessing/table building,
+        #: i.e. everything before each device dispatch)
+        self.stats = {"kernel_evals": 0, "scans": 0, "host_s": 0.0}
 
     def _make_state_fn(self):
         raise NotImplementedError

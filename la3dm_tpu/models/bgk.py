@@ -26,6 +26,7 @@ reassociation.
 from __future__ import annotations
 
 import functools
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -45,6 +46,12 @@ from la3dm_tpu.utils.config import MapConfig
 _ROW_W = 64
 #: heavy-pass chunk: bounds the [chunk, Vall, W] kernel live set
 _CHUNK = 64
+#: max scans per device dispatch; batches are chunked to this and the
+#: per-scan light pass padded to exactly this many steps (count-0 no-ops),
+#: so a 12-scan demo, a 16-scan chunk of a 60-scan sequence, and a 15-scan
+#: long-horizon config all share ONE executable (K=1 server calls keep
+#: their own single-step executable)
+_SCAN_BATCH = 16
 
 # monotone pad sizes shared across map instances with the same config, so a
 # fresh map starts at the converged shapes (and reuses executables)
@@ -201,18 +208,23 @@ class BGKOctoMap(base.OccupancyMapBase):
                           free_resolution: float | None = None,
                           max_range: float | None = None) -> None:
         """Integrate one scan (reference insert_pointcloud, bgkoctomap.cpp:214)."""
+        t0 = time.perf_counter()
         t = self._scan_tables(cloud, origin, ds_resolution, free_resolution,
                               max_range)
+        self.stats["host_s"] += time.perf_counter() - t0
         self._integrate([t] if t is not None else [])
 
     def insert_pointclouds(self, clouds, origins, ds_resolution=None,
                            free_resolution=None, max_range=None) -> None:
-        """Integrate a scan *sequence* in one device dispatch.
+        """Integrate a scan *sequence*, ≤ _SCAN_BATCH scans per dispatch.
 
         Exact relative to the sequential loop (up to f32 sum reassociation):
         the light pass scans over the sequence on device, applying each
-        scan's gate/update/prune in order.
+        scan's gate/update/prune in order; successive dispatches resume from
+        the previous chunk's pool state exactly like successive scans do.
         """
+        t0 = time.perf_counter()
+
         def work(co):
             return self._scan_tables(co[0], co[1], ds_resolution,
                                      free_resolution, max_range)
@@ -220,7 +232,9 @@ class BGKOctoMap(base.OccupancyMapBase):
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
             tables = [t for t in ex.map(work, zip(clouds, origins))
                       if t is not None]
-        self._integrate(tables)
+        self.stats["host_s"] += time.perf_counter() - t0
+        for i in range(0, len(tables), _SCAN_BATCH):
+            self._integrate(tables[i:i + _SCAN_BATCH])
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
         """Integrate pre-labeled training points (bgkoctomap.cpp:82-212)."""
@@ -301,9 +315,14 @@ class BGKOctoMap(base.OccupancyMapBase):
         self._integrate([t] if len(t.test_coords) else [])
 
     def _integrate(self, tables: list) -> None:
-        """Integrate K scans' bucket tables in one device dispatch."""
+        """Integrate K ≤ _SCAN_BATCH scans' bucket tables in one dispatch."""
         if not tables:
             return
+        if len(tables) > _SCAN_BATCH:
+            for i in range(0, len(tables), _SCAN_BATCH):
+                self._integrate(tables[i:i + _SCAN_BATCH])
+            return
+        t_host0 = time.perf_counter()
         cfg = self.cfg
         W = _ROW_W
         G = self.num_slots
@@ -382,27 +401,38 @@ class BGKOctoMap(base.OccupancyMapBase):
         sl_p[:len(slots_flat)] = slots_flat
         ct_p = np.zeros((Tp, 3), np.float32)
         ct_p[:len(centers_flat)] = centers_flat
-        ss = np.asarray(scan_start, np.int32)
-        sc = np.asarray(scan_count, np.int32)
+        # pad K to the fixed batch size (count-0 steps are no-ops) so every
+        # multi-scan chunk shares one executable; K=1 keeps its own
+        K_pad = 1 if K_scans == 1 else _SCAN_BATCH
+        ss = np.zeros(K_pad, np.int32)
+        ss[:K_scans] = scan_start
+        sc = np.zeros(K_pad, np.int32)
+        sc[:K_scans] = scan_count
 
         if not hasattr(self, "_dev_consts"):
             self._dev_consts = (jnp.asarray(self._all_nodes_host),
                                 jnp.asarray(self._node_idx_host))
         an_dev, ni_dev = self._dev_consts
+        self.stats["host_s"] += time.perf_counter() - t_host0
 
-        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-         self.pool.eff_level) = _bgk_seq_step(
-            self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-            self.pool.eff_level, an_dev, ni_dev,
-            jnp.asarray(ent_p), jnp.asarray(lab_p),
-            jnp.asarray(ids_p), jnp.asarray(gs_p),
-            jnp.asarray(rb_p), jnp.asarray(rs_p), jnp.asarray(rn_p),
-            jnp.asarray(sl_p), jnp.asarray(ct_p),
-            jnp.asarray(ss), jnp.asarray(sc),
+        args = (self.pool.fields["A"], self.pool.fields["B"],
+                self.pool.touched, self.pool.eff_level, an_dev, ni_dev,
+                jnp.asarray(ent_p), jnp.asarray(lab_p),
+                jnp.asarray(ids_p), jnp.asarray(gs_p),
+                jnp.asarray(rb_p), jnp.asarray(rs_p), jnp.asarray(rn_p),
+                jnp.asarray(sl_p), jnp.asarray(ct_p),
+                jnp.asarray(ss), jnp.asarray(sc))
+        statics = dict(
             W=W, chunk=_CHUNK, G=G, sf2=cfg.sf2, ell=cfg.ell,
             gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
             segments=self.SEGMENTS, state_fn=self._state_fn,
             do_prune=cfg.block_depth > 1, scan_bt=Btp)
+        if getattr(self, "_capture_step_args", False):
+            # driver contract (__graft_entry__.entry): host copies, because
+            # the pool arrays in ``args`` are donated by the call below
+            self._last_step_call = (tuple(np.asarray(a) for a in args), statics)
+        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+         self.pool.eff_level) = _bgk_seq_step(*args, **statics)
 
     def _make_state_fn(self):
         cfg = self.cfg

@@ -30,6 +30,7 @@ device dispatch.
 from __future__ import annotations
 
 import functools
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -46,6 +47,14 @@ from la3dm_tpu.utils.config import MapConfig
 _ROW_W = 128
 #: lax.map chunk: bounds the [chunk, Vt, W] kernel live set (~8 MiB f32)
 _CHUNK = 32
+#: max scans per device dispatch — caps row/table pad growth so long scan
+#: sequences reuse the shapes (and executables) of short ones (see bgk.py).
+#: 12 = the demo sequence length, so the 12-scan demo stays a single
+#: dispatch; combined with the seeded pad cover below, every ≤12-scan chunk
+#: of the bundled workloads (structured, long-term, dense replicas) lands
+#: on ONE executable — the long-horizon configs hit the persistent cache
+#: instead of paying a fresh ~15-25 s compile
+_SCAN_BATCH = 12
 
 # monotone pad sizes shared across map instances with the same config
 _GLOBAL_PADS: dict = {}
@@ -252,8 +261,10 @@ class BGKLVOctoMap(base.OccupancyMapBase):
 
     def insert_pointcloud(self, cloud, origin, ds_resolution=None,
                           free_resolution=None, max_range=None) -> None:
+        t0 = time.perf_counter()
         td = self._preprocess_scan(cloud, origin, ds_resolution,
                                    free_resolution, max_range)
+        self.stats["host_s"] += time.perf_counter() - t0
         self._integrate_many([td])
 
     def insert_pointclouds(self, clouds, origins, ds_resolution=None,
@@ -274,6 +285,8 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             return
         # native preprocessing + tile tables release the GIL — thread across
         # scans; pool allocation and the device dispatch stay on this thread
+        t0 = time.perf_counter()
+
         def work(co):
             td = self._preprocess_scan(co[0], co[1], ds_resolution,
                                        free_resolution, max_range)
@@ -281,8 +294,11 @@ class BGKLVOctoMap(base.OccupancyMapBase):
 
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
             prepped = list(ex.map(work, zip(clouds, origins)))
-        self._integrate_many([td for td, _ in prepped],
-                             tables=[t for _, t in prepped])
+        self.stats["host_s"] += time.perf_counter() - t0
+        for i in range(0, len(prepped), _SCAN_BATCH):
+            part = prepped[i:i + _SCAN_BATCH]
+            self._integrate_many([td for td, _ in part],
+                                 tables=[t for _, t in part])
 
     # ------------------------------------------------------------- internals
 
@@ -438,6 +454,12 @@ class BGKLVOctoMap(base.OccupancyMapBase):
             raise ValueError("pool capacity × V overflows int32 flat addressing")
         if tables is None:
             tables = [None] * len(tds)
+        if len(tds) > _SCAN_BATCH:
+            for i in range(0, len(tds), _SCAN_BATCH):
+                self._integrate_many(tds[i:i + _SCAN_BATCH],
+                                     tables[i:i + _SCAN_BATCH])
+            return
+        t_host0 = time.perf_counter()
         scans = [s for s in (self._scan_rows(td, tb)
                              for td, tb in zip(tds, tables)) if s is not None]
         if not scans:
@@ -478,9 +500,14 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         self.stats["kernel_evals"] += int(mcount.sum()) * self.Vt
         self.stats["scans"] += len(scans)
 
-        # monotone pow2 pads shared across instances: stable executables
+        # monotone pads shared across instances: stable executables.  Seeded
+        # to the measured 12-scan-chunk cover of the bundled workloads
+        # (structured 44k/250k/3.5k/2.2k, long-term 56k/313k/4.3k/2.6k,
+        # dense-jitter 61k/324k/4.4k/2.7k for E/F/R/T) so they all share one
+        # executable; anything larger grows pow2 from there.  E/F are gather
+        # tables — padding them costs transfer bytes, not device compute
         pad = _GLOBAL_PADS.setdefault((type(self).__name__, cfg),
-                                      {"E": 1024, "F": 16384, "R": 256, "T": 256})
+                                      {"E": 65536, "F": 344064, "R": 4736, "T": 2816})
         pad["E"] = max(pad["E"], base.next_pow2(max(len(entries), 1024)))
         pad["F"] = max(pad["F"], base.next_pow2(max(len(ids), 16384)))
         pad["R"] = max(pad["R"], base.next_pow2(max(len(row_tile), _CHUNK)))
@@ -515,6 +542,7 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         Bf = self.pool.fields["B"].reshape(-1)
         Tf = self.pool.touched.reshape(-1)
         Ef = self.pool.eff_level.reshape(-1)
+        self.stats["host_s"] += time.perf_counter() - t_host0
         Af, Bf, Tf = _lv_rows_step(
             Af, Bf, Tf, Ef, tvm_dev, vb_dev,
             jnp.asarray(ent_p), jnp.asarray(lab_p), jnp.asarray(ids_p),

@@ -28,6 +28,7 @@ model to 4096 (reference per-block sizes vary wildly, gpregressor.h:42-51).
 from __future__ import annotations
 
 import functools
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -41,6 +42,9 @@ from la3dm_tpu.utils.config import MapConfig
 
 #: base tier size (point counts ≤ this go to the shared executable)
 _TIER0 = 128
+#: max scans per device dispatch; the light pass pads to exactly this many
+#: steps so scan sequences of any length share one executable (see bgk.py)
+_SCAN_BATCH = 16
 
 # monotone pad sizes shared across map instances with the same config
 _GLOBAL_PADS: dict = {}
@@ -211,14 +215,18 @@ class GPOctoMap(base.OccupancyMapBase):
 
     def insert_pointcloud(self, cloud, origin, ds_resolution=None,
                           free_resolution=None, max_range=None) -> None:
+        t0 = time.perf_counter()
         t = self._scan_model_tables(cloud, origin, ds_resolution,
                                     free_resolution, max_range)
+        self.stats["host_s"] += time.perf_counter() - t0
         self._integrate([t] if t is not None else [])
 
     def insert_pointclouds(self, clouds, origins, ds_resolution=None,
                            free_resolution=None, max_range=None) -> None:
-        """Integrate a scan sequence: one heavy dispatch per size tier
-        (usually one) + one light dispatch for the whole batch."""
+        """Integrate a scan sequence, ≤ _SCAN_BATCH scans per dispatch pair
+        (one heavy dispatch per size tier — usually one — plus one light)."""
+        t0 = time.perf_counter()
+
         def work(co):
             return self._scan_model_tables(co[0], co[1], ds_resolution,
                                            free_resolution, max_range)
@@ -226,7 +234,9 @@ class GPOctoMap(base.OccupancyMapBase):
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
             tables = [t for t in ex.map(work, zip(clouds, origins))
                       if t is not None]
-        self._integrate(tables)
+        self.stats["host_s"] += time.perf_counter() - t0
+        for i in range(0, len(tables), _SCAN_BATCH):
+            self._integrate(tables[i:i + _SCAN_BATCH])
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
         t = self._model_tables(points.astype(np.float32),
@@ -279,6 +289,11 @@ class GPOctoMap(base.OccupancyMapBase):
     def _integrate(self, tables: list) -> None:
         if not tables:
             return
+        if len(tables) > _SCAN_BATCH:
+            for i in range(0, len(tables), _SCAN_BATCH):
+                self._integrate(tables[i:i + _SCAN_BATCH])
+            return
+        t_host0 = time.perf_counter()
         cfg = self.cfg
         G = self.num_slots
         Vall = self._all_nodes_host.shape[0]
@@ -331,8 +346,13 @@ class GPOctoMap(base.OccupancyMapBase):
         sl_p[:len(slots_flat)] = slots_flat
         ct_p = np.zeros((Tp, 3), np.float32)
         ct_p[:len(centers_flat)] = centers_flat
-        ss = np.asarray(scan_start, np.int32)
-        sc = np.asarray(scan_count, np.int32)
+        # pad K to the fixed batch size (count-0 steps are no-ops; see bgk.py)
+        K_scans = len(tables)
+        K_pad = 1 if K_scans == 1 else _SCAN_BATCH
+        ss = np.zeros(K_pad, np.int32)
+        ss[:K_scans] = scan_start
+        sc = np.zeros(K_pad, np.int32)
+        sc[:K_scans] = scan_count
 
         if not hasattr(self, "_dev_consts"):
             self._dev_consts = (jnp.asarray(self._all_nodes_host),
@@ -374,6 +394,7 @@ class GPOctoMap(base.OccupancyMapBase):
                 S=S, chunk=chunk, G=G, sf2=cfg.sf2, ell=cfg.ell,
                 noise=cfg.noise)
 
+        self.stats["host_s"] += time.perf_counter() - t_host0
         (self.pool.fields["m_ivar"], self.pool.fields["ivar"],
          self.pool.touched, self.pool.eff_level) = _gp_light(
             self.pool.fields["m_ivar"], self.pool.fields["ivar"],
