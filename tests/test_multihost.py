@@ -2,8 +2,9 @@
 CPU mesh, no TPU hardware required).
 
 Spawns 2 worker processes (2 virtual CPU devices each → a 4-device global
-mesh), runs the sharded BGK map with replicated scan ingestion, and checks
-the posterior checksums against a single-process map on the same stream.
+mesh), runs the production scan path on sharded BGK **and** BGKLV maps
+with replicated scan ingestion, and compares the full per-voxel posterior
+state against single-process maps on the identical stream.
 """
 
 import os
@@ -24,12 +25,20 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_matches_single():
+def _load_state(path):
+    data = np.load(path)
+    coords = data["coords"]
+    order = np.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    return {k: np.asarray(data[k])[order] for k in data.files if k != "config"}
+
+
+def test_two_process_sharded_matches_single(tmp_path):
     coord = f"localhost:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
-        subprocess.Popen([sys.executable, WORKER, coord, "2", str(pid)],
+        subprocess.Popen([sys.executable, WORKER, coord, "2", str(pid),
+                          str(tmp_path)],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True, env=env)
         for pid in range(2)
@@ -37,32 +46,30 @@ def test_two_process_sharded_matches_single():
     outs = [p.communicate(timeout=540) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-    line = next(l for l in outs[0][0].splitlines() if l.startswith("CHECKSUM"))
-    got = np.array([float(x) for x in line.split()[1:]])
+    assert any("SAVED" in out for out, _ in outs)
 
-    # single-process reference on the identical stream
+    # single-process references on the identical stream, same tiny pads
+    import multihost_worker as w
     from la3dm_tpu.models.bgk import BGKOctoMap
-    from la3dm_tpu.utils.config import MapConfig
+    from la3dm_tpu.models.bgklv import BGKLVOctoMap
 
-    cfg = MapConfig(method="bgk", resolution=0.1, block_depth=3, ell=0.2, sf2=1.0)
-    m = BGKOctoMap(cfg)
-    rng = np.random.default_rng(123)
-    for i in range(2):
-        pts = rng.uniform(-1.5, 1.5, (300, 3)).astype(np.float32)
-        labels = (rng.uniform(size=300) > 0.4).astype(np.float32)
-        m.insert_training_data(pts, labels)
-    A = np.asarray(m.pool.fields["A"], np.float64)
-    B = np.asarray(m.pool.fields["B"], np.float64)
-    # subtract the untouched-pool fill contribution present in both sums
-    want = np.array([A.sum(), (A * A).sum(), B.sum(), (B * B).sum()])
+    w.seed_tiny_pads()
+    for cls, cfg, name in [(BGKOctoMap, w.BGK_CFG, "bgk"),
+                           (BGKLVOctoMap, w.LV_CFG, "bgklv")]:
+        m = cls(cfg)
+        for cloud, origin in w.scan_stream():
+            m.insert_pointcloud(cloud, origin)
+        ref_path = tmp_path / f"{name}_single.npz"
+        m.save(str(ref_path))
 
-    # pool capacities differ (512 vs default); compare after removing the
-    # prior-filled background: counts of prior cells differ by capacity
-    prior = float(cfg.prior_A)
-    cap_w = A.size
-    # worker pool: 2048 blocks × V voxels
-    V = m.V
-    cap_g = 2048 * V
-    adj = np.array([prior * (cap_g - cap_w), prior ** 2 * (cap_g - cap_w),
-                    prior * (cap_g - cap_w), prior ** 2 * (cap_g - cap_w)])
-    np.testing.assert_allclose(got, want + adj, rtol=1e-5, atol=1e-3)
+        got = _load_state(tmp_path / f"{name}_map.npz")
+        want = _load_state(ref_path)
+        assert got["coords"].shape == want["coords"].shape, name
+        np.testing.assert_array_equal(got["coords"], want["coords"], err_msg=name)
+        for k in want:
+            if k == "coords":
+                continue
+            np.testing.assert_allclose(
+                got[k].astype(np.float64), want[k].astype(np.float64),
+                atol=1e-5, rtol=1e-5,
+                err_msg=f"{name} per-voxel field {k}")
