@@ -144,7 +144,7 @@ CONFIGS = [
      "baseline": "bgk"},
     # depth-6 feasibility: reference bgklvoctomap_large_map.yaml (block_depth
     # 6 ⇒ V=32768).  No C++ ratio: the stand-ins run the demo configs.
-    {"key": "bgklv_large_map_depth6", "method": "bgklv_large_map",
+    {"key": "bgklv_large_map_depth6", "method": "bgklvoctomap_large_map",
      "dataset": "sim_structured", "baseline": None},
 ]
 FALLBACK = {"bgk": 71.1, "bgkl": 5.3, "bgklv": 0.81, "gp": 13.4}

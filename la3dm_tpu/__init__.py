@@ -1,6 +1,6 @@
 """la3dm_tpu — TPU-native Bayesian continuous-occupancy mapping.
 
-A from-scratch JAX/XLA/Pallas re-design of the LA3DM model family
+A from-scratch JAX/XLA re-design of the LA3DM model family
 (reference: RobustFieldAutonomyLab/la3dm, C++/ROS):
 
 * ``BGKOctoMap``    — Bayesian generalized kernel inference, Beta posteriors

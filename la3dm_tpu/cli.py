@@ -178,15 +178,20 @@ def cmd_eval(args) -> int:
     y = gt["occupied"]
     p = out["prob"]
 
-    # threshold sweep (AUC over the known voxels, trapezoidal)
+    # threshold sweep (AUC over the known voxels, trapezoidal).  ROC anchored
+    # at (0,0)/(1,1) explicitly: LV's evidence-mass probabilities include
+    # exact 0⁻/1 values (f32 rounding of W−A−B), so a [0,1] sweep alone never
+    # predicts all-positive and would truncate the area.
     ths = np.linspace(0.0, 1.0, 201)
-    tpr, fpr = [], []
+    tpr, fpr = [1.0], [1.0]
     yk, pk = y[know], p[know]
     P, N = max(int(yk.sum()), 1), max(int((~yk).sum()), 1)
     for t in ths:
         pred = pk > t
         tpr.append(float((pred & yk).sum()) / P)
         fpr.append(float((pred & ~yk).sum()) / N)
+    tpr.append(0.0)
+    fpr.append(0.0)
     auc = float(np.trapezoid(tpr[::-1], fpr[::-1]))
 
     pred_occ = pk > cfg.occupied_thresh
@@ -222,7 +227,52 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_raycast(args) -> int:
+    """Cast rays through a saved map on device (the reference's commented-out
+    raytracing demo, bgkloctomap_static_node.cpp:117-129)."""
+    from la3dm_tpu.models.raycast import raycast_device
+
+    cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    m = build_map(cfg)
+    m.load(args.checkpoint)
+    rays = np.array([[float(x) for x in r.split(",")] for r in args.rays])
+    origins, targets = rays[:, :3], rays[:, 3:6]
+    out = raycast_device(m, origins, targets - origins, max_range=args.max_range)
+    for i in range(len(rays)):
+        p = out["point"][i]
+        print(f"ray {i}: hit={bool(out['hit'][i])} "
+              f"dist={float(out['distance'][i]):.3f} "
+              f"point=({p[0]:.2f},{p[1]:.2f},{p[2]:.2f}) "
+              f"steps={int(out['steps'][i])}")
+    return 0
+
+
+def cmd_frontier(args) -> int:
+    """Frontier extraction from a saved map (the reference's commented-out
+    frontier demo, bgkloctomap_static_node.cpp:102-115)."""
+    from la3dm_tpu.pipeline import frontier_leaves
+    from la3dm_tpu.viz.markers import export_csv
+
+    cfg = load_method_config(args.method, **_parse_overrides(args.set))
+    m = build_map(cfg)
+    m.load(args.checkpoint)
+    f = frontier_leaves(m, var_min=args.var_min, prob_max=args.prob_max,
+                        z_min=args.z_min, z_max=args.z_max)
+    print(json.dumps({"frontier_voxels": int(len(f["x"]))}))
+    if args.out:
+        export_csv(args.out, f)
+        print(f"wrote {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS explicitly: an installed TPU PJRT plugin otherwise
+    # overrides the env var and CLI runs silently compile over the tunnel
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser(prog="la3dm_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -270,6 +320,27 @@ def main(argv=None) -> int:
     p.add_argument("points", nargs="+", help="x,y,z")
     _add_overrides(p)
     p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("raycast", help="device-side ray casting through a "
+                                       "saved map")
+    p.add_argument("--method", default="bgklv")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-range", type=float, default=10.0)
+    p.add_argument("rays", nargs="+", help="ox,oy,oz,tx,ty,tz (origin→target)")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_raycast)
+
+    p = sub.add_parser("frontier", help="extract frontier voxels (high var, "
+                                        "low prob) from a saved map")
+    p.add_argument("--method", default="bgklv")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--var-min", type=float, default=0.02)
+    p.add_argument("--prob-max", type=float, default=0.3)
+    p.add_argument("--z-min", type=float, default=0.3)
+    p.add_argument("--z-max", type=float, default=1.0)
+    p.add_argument("--out", default="", help="optional CSV export path")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_frontier)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -96,6 +96,24 @@ def _bind(lib):
             f32p, ip, f32p, ip, f32p, i32p, ip,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lp = ctypes.POINTER(ctypes.c_longlong)
+        lib.row_tables.restype = ctypes.c_int
+        lib.row_tables.argtypes = [
+            i32p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i8p, lp,
+            i32p, i64p, i32p, lp, i64p,
+            ctypes.c_longlong, ctypes.c_longlong,
+        ]
+        lib.scan_bucket_tables.restype = ctypes.c_int
+        lib.scan_bucket_tables.argtypes = [
+            f32p, f32p, ctypes.c_int, ctypes.c_double,
+            i64p, ctypes.c_int,
+            f32p, f32p, ip,
+            i64p, i32p, i32p, i32p, ip,
+            i64p, i32p, i32p, ip,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         return lib
 
 
@@ -295,3 +313,83 @@ def bgkl_training_data(cloud: np.ndarray, origin: np.ndarray, ds: float, fr: flo
         hits=hits[:nh.value].copy(), rays=rays[:nr.value].copy(),
         samples=samples[:ns.value].copy(),
         sample_ray=sample_ray[:ns.value].astype(np.int64))
+
+
+def scan_bucket_tables(points: np.ndarray, labels: np.ndarray,
+                       block_size: float, nb_offsets: np.ndarray):
+    """Fused block bucketing for the point families (see host_preprocess.cpp).
+
+    Returns a dict with the sorted entry table and both the model-side and
+    test-side views (BGK consumes entries/test/starts/counts; GP additionally
+    model_starts/model_counts/nb_t), or None when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float32)
+    labels = np.ascontiguousarray(labels, np.float32)
+    off = np.ascontiguousarray(np.asarray(nb_offsets, np.int64))
+    n, G = len(points), len(off)
+    max_ent = 2 * n + 64  # boundary double-membership is rare but systematic
+    while True:
+        max_models = max_ent
+        max_test = max_ent * G + G
+        ent = np.empty((max_ent, 3), np.float32)
+        lab = np.empty(max_ent, np.float32)
+        mc = np.empty((max_models, 3), np.int64)
+        ms = np.empty(max_models, np.int32)
+        mn = np.empty(max_models, np.int32)
+        nbt = np.empty((max_models, G), np.int32)
+        tc = np.empty((max_test, 3), np.int64)
+        ts = np.empty((max_test, G), np.int32)
+        tn = np.empty((max_test, G), np.int32)
+        ne, nm, nt = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        rc = lib.scan_bucket_tables(
+            points.reshape(-1), labels, n, float(block_size),
+            off.reshape(-1), G,
+            ent.reshape(-1), lab, ctypes.byref(ne),
+            mc.reshape(-1), ms, mn, nbt.reshape(-1), ctypes.byref(nm),
+            tc.reshape(-1), ts.reshape(-1), tn.reshape(-1), ctypes.byref(nt),
+            max_ent, max_models, max_test)
+        if rc == 0:
+            break
+        max_ent *= 2
+    E, M, B = ne.value, nm.value, nt.value
+    return {
+        "entries": ent[:E].copy(), "labels": lab[:E].copy(),
+        "model_coords": mc[:M].copy(), "model_starts": ms[:M].copy(),
+        "model_counts": mn[:M].copy(), "nb_t": nbt[:M].copy(),
+        "test_coords": tc[:B].copy(), "starts": ts[:B].copy(),
+        "counts": tn[:B].copy(),
+    }
+
+
+def row_tables(starts: np.ndarray, counts: np.ndarray, W: int):
+    """Native fixed-width row tables (models/bgk.py::_row_tables contract).
+
+    Returns (ids, gslot, row_block, row_start, row_count, totals) or None
+    when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int32)
+    counts = np.ascontiguousarray(counts, np.int32)
+    B, G = counts.shape
+    F = int(counts.sum())
+    R = int(((counts.sum(axis=1) + W - 1) // W).sum()) if B else 0
+    ids = np.empty(max(F, 1), np.int32)
+    gslot = np.empty(max(F, 1), np.int8)
+    row_block = np.empty(max(R, 1), np.int32)
+    row_start = np.empty(max(R, 1), np.int64)
+    row_count = np.empty(max(R, 1), np.int32)
+    totals = np.empty(max(B, 1), np.int64)
+    nf, nr = ctypes.c_longlong(), ctypes.c_longlong()
+    rc = lib.row_tables(starts.reshape(-1), counts.reshape(-1), B, G, W,
+                        ids, gslot, ctypes.byref(nf),
+                        row_block, row_start, row_count, ctypes.byref(nr),
+                        totals, len(ids), len(row_block))
+    if rc != 0:
+        return None
+    return (ids[:nf.value], gslot[:nf.value], row_block[:nr.value],
+            row_start[:nr.value], row_count[:nr.value], totals[:B])

@@ -21,8 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# numpy f32 scalars (not jnp arrays): identical arithmetic under jit, but
-# capturable as compile-time constants inside Pallas kernels
+# numpy f32 scalars (not jnp arrays): compile-time constants under jit with
+# arithmetic identical to the numpy reference paths
 import numpy as _np
 
 TWO_PI = _np.float32(2.0 * 3.1415926)  # reference uses 3.1415926f

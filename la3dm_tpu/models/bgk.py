@@ -222,19 +222,29 @@ class BGKOctoMap(base.OccupancyMapBase):
         the light pass scans over the sequence on device, applying each
         scan's gate/update/prune in order; successive dispatches resume from
         the previous chunk's pool state exactly like successive scans do.
+
+        Chunks are STREAMED: scan preprocessing runs in a thread pool while
+        earlier chunks' (async) device dispatches execute, so host table
+        building and device compute overlap instead of serializing.
+        ``host_s`` counts main-thread host work + preprocessing stalls — the
+        host side of the critical path.
         """
-        t0 = time.perf_counter()
-
-        def work(co):
-            return self._scan_tables(co[0], co[1], ds_resolution,
-                                     free_resolution, max_range)
-
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
-            tables = [t for t in ex.map(work, zip(clouds, origins))
-                      if t is not None]
-        self.stats["host_s"] += time.perf_counter() - t0
-        for i in range(0, len(tables), _SCAN_BATCH):
-            self._integrate(tables[i:i + _SCAN_BATCH])
+            futures = [ex.submit(self._scan_tables, c, o, ds_resolution,
+                                 free_resolution, max_range)
+                       for c, o in zip(clouds, origins)]
+            buf = []
+            for f in futures:
+                t0 = time.perf_counter()
+                t = f.result()
+                self.stats["host_s"] += time.perf_counter() - t0
+                if t is not None:
+                    buf.append(t)
+                if len(buf) == _SCAN_BATCH:
+                    self._integrate(buf)
+                    buf = []
+            if buf:
+                self._integrate(buf)
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
         """Integrate pre-labeled training points (bgkoctomap.cpp:82-212)."""
@@ -265,11 +275,31 @@ class BGKOctoMap(base.OccupancyMapBase):
     def _scan_tables(self, cloud, origin, ds_resolution, free_resolution,
                      max_range):
         cfg = self.cfg
-        ent = self._scan_entries(
-            cloud, origin,
-            cfg.ds_resolution if ds_resolution is None else ds_resolution,
-            cfg.free_resolution if free_resolution is None else free_resolution,
-            cfg.max_range if max_range is None else max_range)
+        ds = cfg.ds_resolution if ds_resolution is None else ds_resolution
+        fr = cfg.free_resolution if free_resolution is None else free_resolution
+        mr = cfg.max_range if max_range is None else max_range
+        if not self.SEGMENTS:
+            # fused native path: training data + memberships + bucketing in
+            # one C++ pass (bit-identical to the numpy pipeline below)
+            from la3dm_tpu.geometry import native
+
+            td = native.bgk_training_data(cloud, origin, ds, fr, mr,
+                                          free_label=0.0)
+            if td is not None:
+                if len(td.points) == 0:
+                    return None
+                nt = native.scan_bucket_tables(
+                    td.points, td.labels.astype(np.float32),
+                    self.block_size, self._neighbor_offsets)
+                if nt is not None:
+                    if len(nt["test_coords"]) == 0:
+                        return None
+                    return bucketing.BucketTables(
+                        test_coords=nt["test_coords"], entries=nt["entries"],
+                        labels=nt["labels"], starts=nt["starts"],
+                        counts=nt["counts"],
+                        max_total=int(nt["counts"].sum(axis=1).max()))
+        ent = self._scan_entries(cloud, origin, ds, fr, mr)
         if ent is None:
             return None
         coords, entries, labels = ent
@@ -285,6 +315,13 @@ class BGKOctoMap(base.OccupancyMapBase):
         sequentially — Beta updates are additive so order is free, but the
         per-model gate needs the slot id, carried in ``gslot``).
         """
+        from la3dm_tpu.geometry import native
+
+        nt = native.row_tables(t.starts, t.counts, _ROW_W)
+        if nt is not None:  # fused C++ path, identical output
+            ids, gslot, row_block, row_start, row_count, totals = nt
+            return (ids.astype(np.int64), gslot, row_block.astype(np.int64),
+                    row_start, row_count.astype(np.int64), totals)
         B, G = t.starts.shape
         totals = t.counts.sum(axis=1).astype(np.int64)
         F = int(totals.sum())

@@ -284,21 +284,29 @@ class BGKLVOctoMap(base.OccupancyMapBase):
                                        free_resolution, max_range)
             return
         # native preprocessing + tile tables release the GIL — thread across
-        # scans; pool allocation and the device dispatch stay on this thread
-        t0 = time.perf_counter()
-
+        # scans; pool allocation and the device dispatch stay on this thread.
+        # Chunks are streamed so preprocessing overlaps device compute
+        # (see bgk.py::insert_pointclouds).
         def work(co):
             td = self._preprocess_scan(co[0], co[1], ds_resolution,
                                        free_resolution, max_range)
             return td, self._scan_tables(td)
 
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
-            prepped = list(ex.map(work, zip(clouds, origins)))
-        self.stats["host_s"] += time.perf_counter() - t0
-        for i in range(0, len(prepped), _SCAN_BATCH):
-            part = prepped[i:i + _SCAN_BATCH]
-            self._integrate_many([td for td, _ in part],
-                                 tables=[t for _, t in part])
+            futures = [ex.submit(work, co) for co in zip(clouds, origins)]
+            buf = []
+            for f in futures:
+                t0 = time.perf_counter()
+                pair = f.result()
+                self.stats["host_s"] += time.perf_counter() - t0
+                buf.append(pair)
+                if len(buf) == _SCAN_BATCH:
+                    self._integrate_many([td for td, _ in buf],
+                                         tables=[t for _, t in buf])
+                    buf = []
+            if buf:
+                self._integrate_many([td for td, _ in buf],
+                                     tables=[t for _, t in buf])
 
     # ------------------------------------------------------------- internals
 

@@ -224,19 +224,25 @@ class GPOctoMap(base.OccupancyMapBase):
     def insert_pointclouds(self, clouds, origins, ds_resolution=None,
                            free_resolution=None, max_range=None) -> None:
         """Integrate a scan sequence, ≤ _SCAN_BATCH scans per dispatch pair
-        (one heavy dispatch per size tier — usually one — plus one light)."""
-        t0 = time.perf_counter()
-
-        def work(co):
-            return self._scan_model_tables(co[0], co[1], ds_resolution,
-                                           free_resolution, max_range)
-
+        (one heavy dispatch per size tier — usually one — plus one light).
+        Chunks are streamed so preprocessing overlaps device compute
+        (see bgk.py::insert_pointclouds)."""
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
-            tables = [t for t in ex.map(work, zip(clouds, origins))
-                      if t is not None]
-        self.stats["host_s"] += time.perf_counter() - t0
-        for i in range(0, len(tables), _SCAN_BATCH):
-            self._integrate(tables[i:i + _SCAN_BATCH])
+            futures = [ex.submit(self._scan_model_tables, c, o, ds_resolution,
+                                 free_resolution, max_range)
+                       for c, o in zip(clouds, origins)]
+            buf = []
+            for f in futures:
+                t0 = time.perf_counter()
+                t = f.result()
+                self.stats["host_s"] += time.perf_counter() - t0
+                if t is not None:
+                    buf.append(t)
+                if len(buf) == _SCAN_BATCH:
+                    self._integrate(buf)
+                    buf = []
+            if buf:
+                self._integrate(buf)
 
     def insert_training_data(self, points: np.ndarray, labels: np.ndarray) -> None:
         t = self._model_tables(points.astype(np.float32),
@@ -265,6 +271,17 @@ class GPOctoMap(base.OccupancyMapBase):
     def _model_tables(self, points: np.ndarray, labels: np.ndarray):
         """One scan → (sorted points/labels, per-model segments, test-block
         coords, per-model target rows)."""
+        from la3dm_tpu.geometry import native
+
+        nt = native.scan_bucket_tables(points, labels, self.block_size,
+                                       self._neighbor_offsets)
+        if nt is not None:  # fused C++ path, bit-identical to the numpy one
+            if len(nt["model_starts"]) == 0:
+                return None
+            return {"pts": nt["entries"], "lab": nt["labels"],
+                    "starts": nt["model_starts"].astype(np.int64),
+                    "counts": nt["model_counts"].astype(np.int64),
+                    "nb_t": nt["nb_t"], "test_coords": nt["test_coords"]}
         coords, pidx = geo.point_block_memberships(points, self.block_size)
         order, ukeys, starts, counts = bucketing.group_by_block(coords)
         if len(ukeys) == 0:

@@ -153,6 +153,18 @@ class OnlineIntegrator:
         return True
 
 
+def frontier_leaves(m: OccupancyMapBase, var_min: float, prob_max: float,
+                    z_min: float, z_max: float) -> dict:
+    """Frontier query: leaves with high posterior variance and low occupancy
+    probability inside a z band — the reference's commented-out frontier demo
+    (``bgkloctomap_static_node.cpp:102-115``: var > 0.02 ∧ prob < 0.3,
+    0.3 < z < 1.0)."""
+    leaves = m.leaves(expand_pruned=True)
+    sel = ((leaves["var"] > var_min) & (leaves["prob"] < prob_max)
+           & (leaves["z"] > z_min) & (leaves["z"] < z_max))
+    return {k: v[sel] for k, v in leaves.items()}
+
+
 def export_leaves(m: OccupancyMapBase, original_size: bool = False) -> dict:
     """Occupied + free leaf sets with the static nodes' display semantics:
     OCCUPIED leaves (height coloring domain) and FREE leaves (probability

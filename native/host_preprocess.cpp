@@ -592,4 +592,182 @@ int voxel_downsample(const float* pts, int n, float leaf, float* out, int max_ou
   return (int)o.size();
 }
 
+// Block bucketing for the point families (BGK/GP) — the fused equivalent of
+// geometry/blocks.py::point_block_memberships + models/bucketing.py
+// (group_by_block, test_blocks_for, bucket_tables) and gp.py::_model_tables'
+// neighbor-row table.  Semantics mirror the numpy path bit-for-bit:
+// * base block index: floor(p_f64 / block_size_f64 + 0.5)   (f64, like
+//   point_to_block_coord / reference bgkblock.cpp:73-77)
+// * closed-box membership of candidates base-1..base+1 per axis, bounds in
+//   float32: ctr = (float)(cand * (double)(float)block_size), half =
+//   (float)((double)(float)block_size / 2) — a point on a face plane
+//   belongs to both adjacent blocks (rtree.h Overlap semantics)
+// * incidences emitted combo-major then stable-sorted by packed key, so the
+//   within-block entry order matches numpy's concatenate+argsort(stable)
+// * test blocks: sorted unique of (entry blocks + neighbor offsets); the
+//   (test, slot) segment table indexes the sorted entry array
+// * nb_t[m][g]: row in test blocks of (model block − offset[g]) (gp.py)
+// Returns 0, or -1 if an output buffer is too small.
+int scan_bucket_tables(
+    const float* pts, const float* labels, int n, double block_size,
+    const int64_t* nb_off, int G,
+    float* ent_out, float* lab_out, int* n_ent_out,
+    int64_t* model_coords_out, int* model_starts_out, int* model_counts_out,
+    int* nb_t_out, int* n_models_out,
+    int64_t* test_coords_out, int* test_starts_out, int* test_counts_out,
+    int* n_test_out, int max_ent, int max_models, int max_test) {
+  const float bsf = (float)block_size;
+  const double bsd = (double)bsf;  // numpy promotes the f32 block size
+  const float half = (float)(bsd / 2.0);
+
+  auto pack = [](int64_t x, int64_t y, int64_t z) -> int64_t {
+    return ((x + 524288) << 40) | ((y + 524288) << 20) | (z + 524288);
+  };
+
+  // per-point base coords + per-axis candidate membership
+  std::vector<int64_t> base(3 * (size_t)n);
+  std::vector<uint8_t> mem(9 * (size_t)n);  // [i][axis][cand]
+  for (int i = 0; i < n; ++i) {
+    for (int ax = 0; ax < 3; ++ax) {
+      const float p = pts[3 * i + ax];
+      const int64_t b = (int64_t)std::floor((double)p / block_size + 0.5);
+      base[3 * i + ax] = b;
+      for (int c = 0; c < 3; ++c) {
+        const float ctr = (float)((double)(b + c - 1) * bsd);
+        mem[9 * i + 3 * ax + c] = (ctr - half <= p) && (p <= ctr + half);
+      }
+    }
+  }
+  struct Inc { int64_t key; int idx; };
+  std::vector<Inc> inc;
+  inc.reserve((size_t)n + n / 4);
+  for (int cx = 0; cx < 3; ++cx)
+    for (int cy = 0; cy < 3; ++cy)
+      for (int cz = 0; cz < 3; ++cz)
+        for (int i = 0; i < n; ++i) {
+          if (mem[9 * i + cx] && mem[9 * i + 3 + cy] && mem[9 * i + 6 + cz])
+            inc.push_back({pack(base[3 * i] + cx - 1, base[3 * i + 1] + cy - 1,
+                                base[3 * i + 2] + cz - 1), i});
+        }
+  std::stable_sort(inc.begin(), inc.end(),
+                   [](const Inc& a, const Inc& b) { return a.key < b.key; });
+  const int M = (int)inc.size();
+  if (M > max_ent) return -1;
+  for (int j = 0; j < M; ++j) {
+    const int i = inc[j].idx;
+    ent_out[3 * j] = pts[3 * i]; ent_out[3 * j + 1] = pts[3 * i + 1];
+    ent_out[3 * j + 2] = pts[3 * i + 2];
+    lab_out[j] = labels[i];
+  }
+  *n_ent_out = M;
+
+  // unique entry blocks (models) with segment starts/counts
+  std::vector<int64_t> ukeys;
+  ukeys.reserve(M / 2 + 1);
+  int n_models = 0;
+  for (int j = 0; j < M; ++j) {
+    if (j == 0 || inc[j].key != inc[j - 1].key) {
+      if (n_models >= max_models) return -1;
+      ukeys.push_back(inc[j].key);
+      model_starts_out[n_models] = j;
+      model_counts_out[n_models] = 1;
+      const int64_t k = inc[j].key;
+      model_coords_out[3 * n_models] = (k >> 40) - 524288;
+      model_coords_out[3 * n_models + 1] = ((k >> 20) & 0xFFFFF) - 524288;
+      model_coords_out[3 * n_models + 2] = (k & 0xFFFFF) - 524288;
+      ++n_models;
+    } else {
+      model_counts_out[n_models - 1]++;
+    }
+  }
+  *n_models_out = n_models;
+
+  // test blocks: sorted unique of (model coords + offsets)
+  std::vector<int64_t> tkeys;
+  tkeys.reserve((size_t)n_models * G);
+  for (int m = 0; m < n_models; ++m)
+    for (int g = 0; g < G; ++g)
+      tkeys.push_back(pack(model_coords_out[3 * m] + nb_off[3 * g],
+                           model_coords_out[3 * m + 1] + nb_off[3 * g + 1],
+                           model_coords_out[3 * m + 2] + nb_off[3 * g + 2]));
+  std::sort(tkeys.begin(), tkeys.end());
+  tkeys.erase(std::unique(tkeys.begin(), tkeys.end()), tkeys.end());
+  const int B = (int)tkeys.size();
+  if (B > max_test) return -1;
+  for (int t = 0; t < B; ++t) {
+    const int64_t k = tkeys[t];
+    const int64_t x = (k >> 40) - 524288, y = ((k >> 20) & 0xFFFFF) - 524288,
+                  z = (k & 0xFFFFF) - 524288;
+    test_coords_out[3 * t] = x; test_coords_out[3 * t + 1] = y;
+    test_coords_out[3 * t + 2] = z;
+    for (int g = 0; g < G; ++g) {
+      const int64_t q = pack(x + nb_off[3 * g], y + nb_off[3 * g + 1],
+                             z + nb_off[3 * g + 2]);
+      auto it = std::lower_bound(ukeys.begin(), ukeys.end(), q);
+      if (it != ukeys.end() && *it == q) {
+        const int m = (int)(it - ukeys.begin());
+        test_starts_out[(size_t)t * G + g] = model_starts_out[m];
+        test_counts_out[(size_t)t * G + g] = model_counts_out[m];
+      } else {
+        test_starts_out[(size_t)t * G + g] = 0;
+        test_counts_out[(size_t)t * G + g] = 0;
+      }
+    }
+  }
+  *n_test_out = B;
+
+  // nb_t: model m serves test block (model − offset[g]) at slot g (gp.py)
+  for (int m = 0; m < n_models; ++m)
+    for (int g = 0; g < G; ++g) {
+      const int64_t q = pack(model_coords_out[3 * m] - nb_off[3 * g],
+                             model_coords_out[3 * m + 1] - nb_off[3 * g + 1],
+                             model_coords_out[3 * m + 2] - nb_off[3 * g + 2]);
+      auto it = std::lower_bound(tkeys.begin(), tkeys.end(), q);
+      // always present: the test set is models + offsets and offsets are
+      // symmetric (face neighbors ± and 0); guard anyway
+      nb_t_out[(size_t)m * G + g] =
+          (it != tkeys.end() && *it == q) ? (int)(it - tkeys.begin()) : B;
+    }
+  return 0;
+}
+
+// Fixed-width entry-row tables for the BGK-family row engine — the fused
+// equivalent of models/bgk.py::_row_tables.  For each test block, its G
+// neighbor segments are concatenated in slot order into the merged id table
+// (ids into the sorted entry array, with the slot id carried for per-model
+// k̄ gating), then cut into rows of W ids.  Returns 0 or -1 (buffer).
+int row_tables(const int* starts, const int* counts, int B, int G, int W,
+               int* ids_out, int8_t* gslot_out, int64_t* n_ids_out,
+               int* row_block_out, int64_t* row_start_out, int* row_count_out,
+               int64_t* n_rows_out, int64_t* totals_out,
+               int64_t max_ids, int64_t max_rows) {
+  int64_t f = 0, r = 0;
+  for (int b = 0; b < B; ++b) {
+    const int64_t mstart = f;
+    for (int g = 0; g < G; ++g) {
+      const int s = starts[(size_t)b * G + g];
+      const int c = counts[(size_t)b * G + g];
+      if (f + c > max_ids) return -1;
+      for (int j = 0; j < c; ++j) {
+        ids_out[f] = s + j;
+        gslot_out[f] = (int8_t)g;
+        ++f;
+      }
+    }
+    const int64_t total = f - mstart;
+    totals_out[b] = total;
+    const int64_t nrows = (total + W - 1) / W;
+    if (r + nrows > max_rows) return -1;
+    for (int64_t j = 0; j < nrows; ++j) {
+      row_block_out[r] = b;
+      row_start_out[r] = mstart + j * W;
+      row_count_out[r] = (int)std::min<int64_t>(W, total - j * W);
+      ++r;
+    }
+  }
+  *n_ids_out = f;
+  *n_rows_out = r;
+  return 0;
+}
+
 }  // extern "C"

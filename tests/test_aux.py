@@ -198,3 +198,31 @@ def test_server_cli_gates_duplicate_scans(tmp_path):
     assert rc == 0
     import os
     assert os.path.exists(out + "_map.npz")
+
+
+def test_raycast_device_matches_host():
+    """Device DDA (one jitted dispatch) agrees with the host stepper."""
+    m = _occupied_wall_map()
+    rng2 = np.random.default_rng(11)
+    origins = rng2.uniform(-0.3, 0.3, (32, 3)).astype(np.float32)
+    dirs = rng2.normal(size=(32, 3)).astype(np.float32)
+    dirs[:8] = [1.0, 0.0, 0.0]          # straight into the wall
+    host = raycast.raycast(m, origins, dirs, max_range=5.0)
+    dev = raycast.raycast_device(m, origins, dirs, max_range=5.0)
+    assert (host["hit"] == dev["hit"]).mean() > 0.95  # boundary-ulp rays only
+    both = host["hit"] & dev["hit"]
+    np.testing.assert_allclose(dev["distance"][both], host["distance"][both],
+                               atol=2 * m.cfg.resolution)
+
+
+def test_frontier_query():
+    """The reference's commented-out frontier demo
+    (bgkloctomap_static_node.cpp:102-115): leaves with high variance and low
+    occupancy probability inside a z band."""
+    from la3dm_tpu.pipeline import frontier_leaves
+
+    m = _occupied_wall_map()
+    f = frontier_leaves(m, var_min=1e-4, prob_max=0.45, z_min=-1.0, z_max=1.0)
+    assert len(f["x"]) > 0
+    assert (f["z"] >= -1.0).all() and (f["z"] <= 1.0).all()
+    assert (f["prob"] < 0.45).all() and (f["var"] > 1e-4).all()
