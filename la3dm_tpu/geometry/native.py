@@ -105,6 +105,15 @@ def _bind(lib):
             i32p, i64p, i32p, lp, i64p,
             ctypes.c_longlong, ctypes.c_longlong,
         ]
+        lib.bgkl_scan_tables.restype = ctypes.c_int
+        lib.bgkl_scan_tables.argtypes = [
+            f32p, ctypes.c_int, f32p, ctypes.c_int,
+            f32p, i32p, ctypes.c_int,
+            ctypes.c_double, i64p, ctypes.c_int,
+            f32p, f32p, ip,
+            i64p, i32p, i32p, ip,
+            ctypes.c_int, ctypes.c_int,
+        ]
         lib.scan_bucket_tables.restype = ctypes.c_int
         lib.scan_bucket_tables.argtypes = [
             f32p, f32p, ctypes.c_int, ctypes.c_double,
@@ -331,9 +340,9 @@ def scan_bucket_tables(points: np.ndarray, labels: np.ndarray,
     off = np.ascontiguousarray(np.asarray(nb_offsets, np.int64))
     n, G = len(points), len(off)
     max_ent = 2 * n + 64  # boundary double-membership is rare but systematic
+    max_test = 8 * n + 1024  # retry-doubled on overflow
     while True:
         max_models = max_ent
-        max_test = max_ent * G + G
         ent = np.empty((max_ent, 3), np.float32)
         lab = np.empty(max_ent, np.float32)
         mc = np.empty((max_models, 3), np.int64)
@@ -354,6 +363,7 @@ def scan_bucket_tables(points: np.ndarray, labels: np.ndarray,
         if rc == 0:
             break
         max_ent *= 2
+        max_test *= 2
     E, M, B = ne.value, nm.value, nt.value
     return {
         "entries": ent[:E].copy(), "labels": lab[:E].copy(),
@@ -393,3 +403,44 @@ def row_tables(starts: np.ndarray, counts: np.ndarray, W: int):
         return None
     return (ids[:nf.value], gslot[:nf.value], row_block[:nr.value],
             row_start[:nr.value], row_count[:nr.value], totals[:B])
+
+
+def bgkl_scan_tables(hits: np.ndarray, rays: np.ndarray, samples: np.ndarray,
+                     sample_ray: np.ndarray, block_size: float,
+                     nb_offsets: np.ndarray):
+    """Fused BGKL bucketing (segment entries with per-block ray dedup; see
+    host_preprocess.cpp).  Returns the BucketTables fields as a dict, or
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    hits = np.ascontiguousarray(hits, np.float32)
+    rays = np.ascontiguousarray(rays, np.float32)
+    samples = np.ascontiguousarray(samples, np.float32)
+    sample_ray = np.ascontiguousarray(sample_ray, np.int32)
+    off = np.ascontiguousarray(np.asarray(nb_offsets, np.int64))
+    H, R, S, G = len(hits), len(rays), len(samples), len(off)
+    max_ent = 2 * H + 24 * max(R, 1) + 64  # rays touch many blocks
+    max_test = 8 * (H + R) + 1024  # retry-doubled on overflow
+    while True:
+        ent = np.empty((max_ent, 6), np.float32)
+        lab = np.empty(max_ent, np.float32)
+        tc = np.empty((max_test, 3), np.int64)
+        ts = np.empty((max_test, G), np.int32)
+        tn = np.empty((max_test, G), np.int32)
+        ne, nt = ctypes.c_int(), ctypes.c_int()
+        rc = lib.bgkl_scan_tables(
+            hits.reshape(-1), H, rays.reshape(-1), R,
+            samples.reshape(-1), sample_ray, S,
+            float(block_size), off.reshape(-1), G,
+            ent.reshape(-1), lab, ctypes.byref(ne),
+            tc.reshape(-1), ts.reshape(-1), tn.reshape(-1), ctypes.byref(nt),
+            max_ent, max_test)
+        if rc == 0:
+            break
+        max_ent *= 2
+        max_test *= 2
+    E, B = ne.value, nt.value
+    return {"entries": ent[:E].copy(), "labels": lab[:E].copy(),
+            "test_coords": tc[:B].copy(), "starts": ts[:B].copy(),
+            "counts": tn[:B].copy()}

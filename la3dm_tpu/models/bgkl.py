@@ -53,6 +53,33 @@ class BGKLOctoMap(BGKOctoMap):
     SEGMENTS = True
     GATE = 0.001  # bgkloctomap.cpp:231
 
+    def _scan_tables(self, cloud, origin, ds_resolution, free_resolution,
+                     max_range):
+        cfg = self.cfg
+        ds = cfg.ds_resolution if ds_resolution is None else ds_resolution
+        fr = cfg.free_resolution if free_resolution is None else free_resolution
+        mr = cfg.max_range if max_range is None else max_range
+        from la3dm_tpu.geometry import native
+
+        td = native.bgkl_training_data(cloud, origin, ds, fr, mr)
+        if td is not None:
+            if len(td.hits) == 0 and len(td.rays) == 0:
+                return None
+            # fused native bucketing (bit-identical to the numpy pipeline)
+            nt = native.bgkl_scan_tables(td.hits, td.rays, td.samples,
+                                         td.sample_ray, self.block_size,
+                                         self._neighbor_offsets)
+            if nt is not None:
+                if len(nt["test_coords"]) == 0:
+                    return None
+                return bucketing.BucketTables(
+                    test_coords=nt["test_coords"], entries=nt["entries"],
+                    labels=nt["labels"], starts=nt["starts"],
+                    counts=nt["counts"],
+                    max_total=int(nt["counts"].sum(axis=1).max()))
+        return super()._scan_tables(cloud, origin, ds_resolution,
+                                    free_resolution, max_range)
+
     def _scan_entries(self, cloud, origin, ds, fr, mr):
         from la3dm_tpu.geometry import native
 

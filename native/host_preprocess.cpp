@@ -76,6 +76,45 @@ void Downsample(const float* pts, int n, float leaf, std::vector<V3>* out) {
     out->push_back({(float)(c.s[0] / c.n), (float)(c.s[1] / c.n), (float)(c.s[2] / c.n)});
 }
 
+struct BlockInc { int64_t key; int idx; };
+
+inline int64_t PackKey(int64_t x, int64_t y, int64_t z) {
+  return ((x + 524288) << 40) | ((y + 524288) << 20) | (z + 524288);
+}
+
+// Combo-major closed-box block incidences — the C++ twin of
+// geometry/blocks.py::point_block_memberships (semantics notes at
+// scan_bucket_tables below).  Appends to *out in the numpy path's order.
+void CollectIncidences(const float* pts, int n, double block_size,
+                       std::vector<BlockInc>* out) {
+  const float bsf = (float)block_size;
+  const double bsd = (double)bsf;  // numpy promotes the f32 block size
+  const float half = (float)(bsd / 2.0);
+  std::vector<int64_t> base(3 * (size_t)n);
+  std::vector<uint8_t> mem(9 * (size_t)n);  // [i][axis][cand]
+  for (int i = 0; i < n; ++i) {
+    for (int ax = 0; ax < 3; ++ax) {
+      const float p = pts[3 * i + ax];
+      const int64_t b = (int64_t)std::floor((double)p / block_size + 0.5);
+      base[3 * i + ax] = b;
+      for (int c = 0; c < 3; ++c) {
+        const float ctr = (float)((double)(b + c - 1) * bsd);
+        mem[9 * i + 3 * ax + c] = (ctr - half <= p) && (p <= ctr + half);
+      }
+    }
+  }
+  out->reserve(out->size() + (size_t)n + n / 4);
+  for (int cx = 0; cx < 3; ++cx)
+    for (int cy = 0; cy < 3; ++cy)
+      for (int cz = 0; cz < 3; ++cz)
+        for (int i = 0; i < n; ++i) {
+          if (mem[9 * i + cx] && mem[9 * i + 3 + cy] && mem[9 * i + 6 + cz])
+            out->push_back({PackKey(base[3 * i] + cx - 1,
+                                    base[3 * i + 1] + cy - 1,
+                                    base[3 * i + 2] + cz - 1), i});
+        }
+}
+
 }  // namespace
 
 extern "C" {
@@ -616,41 +655,10 @@ int scan_bucket_tables(
     int* nb_t_out, int* n_models_out,
     int64_t* test_coords_out, int* test_starts_out, int* test_counts_out,
     int* n_test_out, int max_ent, int max_models, int max_test) {
-  const float bsf = (float)block_size;
-  const double bsd = (double)bsf;  // numpy promotes the f32 block size
-  const float half = (float)(bsd / 2.0);
-
-  auto pack = [](int64_t x, int64_t y, int64_t z) -> int64_t {
-    return ((x + 524288) << 40) | ((y + 524288) << 20) | (z + 524288);
-  };
-
-  // per-point base coords + per-axis candidate membership
-  std::vector<int64_t> base(3 * (size_t)n);
-  std::vector<uint8_t> mem(9 * (size_t)n);  // [i][axis][cand]
-  for (int i = 0; i < n; ++i) {
-    for (int ax = 0; ax < 3; ++ax) {
-      const float p = pts[3 * i + ax];
-      const int64_t b = (int64_t)std::floor((double)p / block_size + 0.5);
-      base[3 * i + ax] = b;
-      for (int c = 0; c < 3; ++c) {
-        const float ctr = (float)((double)(b + c - 1) * bsd);
-        mem[9 * i + 3 * ax + c] = (ctr - half <= p) && (p <= ctr + half);
-      }
-    }
-  }
-  struct Inc { int64_t key; int idx; };
-  std::vector<Inc> inc;
-  inc.reserve((size_t)n + n / 4);
-  for (int cx = 0; cx < 3; ++cx)
-    for (int cy = 0; cy < 3; ++cy)
-      for (int cz = 0; cz < 3; ++cz)
-        for (int i = 0; i < n; ++i) {
-          if (mem[9 * i + cx] && mem[9 * i + 3 + cy] && mem[9 * i + 6 + cz])
-            inc.push_back({pack(base[3 * i] + cx - 1, base[3 * i + 1] + cy - 1,
-                                base[3 * i + 2] + cz - 1), i});
-        }
+  std::vector<BlockInc> inc;
+  CollectIncidences(pts, n, block_size, &inc);
   std::stable_sort(inc.begin(), inc.end(),
-                   [](const Inc& a, const Inc& b) { return a.key < b.key; });
+                   [](const BlockInc& a, const BlockInc& b) { return a.key < b.key; });
   const int M = (int)inc.size();
   if (M > max_ent) return -1;
   for (int j = 0; j < M; ++j) {
@@ -687,7 +695,7 @@ int scan_bucket_tables(
   tkeys.reserve((size_t)n_models * G);
   for (int m = 0; m < n_models; ++m)
     for (int g = 0; g < G; ++g)
-      tkeys.push_back(pack(model_coords_out[3 * m] + nb_off[3 * g],
+      tkeys.push_back(PackKey(model_coords_out[3 * m] + nb_off[3 * g],
                            model_coords_out[3 * m + 1] + nb_off[3 * g + 1],
                            model_coords_out[3 * m + 2] + nb_off[3 * g + 2]));
   std::sort(tkeys.begin(), tkeys.end());
@@ -701,7 +709,7 @@ int scan_bucket_tables(
     test_coords_out[3 * t] = x; test_coords_out[3 * t + 1] = y;
     test_coords_out[3 * t + 2] = z;
     for (int g = 0; g < G; ++g) {
-      const int64_t q = pack(x + nb_off[3 * g], y + nb_off[3 * g + 1],
+      const int64_t q = PackKey(x + nb_off[3 * g], y + nb_off[3 * g + 1],
                              z + nb_off[3 * g + 2]);
       auto it = std::lower_bound(ukeys.begin(), ukeys.end(), q);
       if (it != ukeys.end() && *it == q) {
@@ -719,7 +727,7 @@ int scan_bucket_tables(
   // nb_t: model m serves test block (model − offset[g]) at slot g (gp.py)
   for (int m = 0; m < n_models; ++m)
     for (int g = 0; g < G; ++g) {
-      const int64_t q = pack(model_coords_out[3 * m] - nb_off[3 * g],
+      const int64_t q = PackKey(model_coords_out[3 * m] - nb_off[3 * g],
                              model_coords_out[3 * m + 1] - nb_off[3 * g + 1],
                              model_coords_out[3 * m + 2] - nb_off[3 * g + 2]);
       auto it = std::lower_bound(tkeys.begin(), tkeys.end(), q);
@@ -728,6 +736,107 @@ int scan_bucket_tables(
       nb_t_out[(size_t)m * G + g] =
           (it != tkeys.end() && *it == q) ? (int)(it - tkeys.begin()) : B;
     }
+  return 0;
+}
+
+// BGKL bucketing — the fused equivalent of
+// models/bgkl.py::segment_block_entries + models/bucketing.py::bucket_tables.
+// Hits enter their member blocks as degenerate segments (start == end);
+// each free ray enters a block once iff ≥1 of its R-tree proxy samples lies
+// in the block's closed box (per-block ray dedup, bgkloctomap.cpp:145-172).
+// Entry order within a block matches the numpy path: hit incidences
+// (combo-major) first, then rays sorted by (block, ray id).
+// Returns 0, or -1 if an output buffer is too small.
+int bgkl_scan_tables(
+    const float* hits, int H, const float* rays, int R,
+    const float* samples, const int* sample_ray, int S,
+    double block_size, const int64_t* nb_off, int G,
+    float* ent_out, float* lab_out, int* n_ent_out,
+    int64_t* test_coords_out, int* test_starts_out, int* test_counts_out,
+    int* n_test_out, int max_ent, int max_test) {
+  std::vector<BlockInc> inc;
+  CollectIncidences(hits, H, block_size, &inc);
+  const size_t n_hit_inc = inc.size();
+
+  std::vector<BlockInc> sinc;
+  CollectIncidences(samples, S, block_size, &sinc);
+  std::vector<std::pair<int64_t, int>> pairs;
+  pairs.reserve(sinc.size());
+  for (const BlockInc& e : sinc)
+    pairs.push_back({e.key, sample_ray[e.idx]});
+  std::sort(pairs.begin(), pairs.end());
+  pairs.erase(std::unique(pairs.begin(), pairs.end()), pairs.end());
+  for (const auto& pr : pairs)
+    inc.push_back({pr.first, H + pr.second});  // idx ≥ H ⇒ ray id idx − H
+  std::stable_sort(inc.begin() + 0, inc.end(),
+                   [](const BlockInc& a, const BlockInc& b) { return a.key < b.key; });
+
+  const int M = (int)inc.size();
+  if (M > max_ent) return -1;
+  for (int j = 0; j < M; ++j) {
+    const int i = inc[j].idx;
+    if (i < H) {
+      for (int ax = 0; ax < 3; ++ax) {
+        ent_out[6 * j + ax] = hits[3 * i + ax];
+        ent_out[6 * j + 3 + ax] = hits[3 * i + ax];
+      }
+      lab_out[j] = 1.0f;
+    } else {
+      for (int ax = 0; ax < 6; ++ax)
+        ent_out[6 * j + ax] = rays[6 * (i - H) + ax];
+      lab_out[j] = 0.0f;
+    }
+  }
+  *n_ent_out = M;
+
+  // unique entry blocks with segment starts/counts (local scratch)
+  std::vector<int64_t> ukeys;
+  std::vector<int> ustart, ucount;
+  for (int j = 0; j < M; ++j) {
+    if (j == 0 || inc[j].key != inc[j - 1].key) {
+      ukeys.push_back(inc[j].key);
+      ustart.push_back(j);
+      ucount.push_back(1);
+    } else {
+      ucount.back()++;
+    }
+  }
+
+  // test blocks: sorted unique of (entry blocks + offsets)
+  std::vector<int64_t> tkeys;
+  tkeys.reserve(ukeys.size() * (size_t)G);
+  for (int64_t k : ukeys) {
+    const int64_t x = (k >> 40) - 524288, y = ((k >> 20) & 0xFFFFF) - 524288,
+                  z = (k & 0xFFFFF) - 524288;
+    for (int g = 0; g < G; ++g)
+      tkeys.push_back(PackKey(x + nb_off[3 * g], y + nb_off[3 * g + 1],
+                              z + nb_off[3 * g + 2]));
+  }
+  std::sort(tkeys.begin(), tkeys.end());
+  tkeys.erase(std::unique(tkeys.begin(), tkeys.end()), tkeys.end());
+  const int B = (int)tkeys.size();
+  if (B > max_test) return -1;
+  for (int t = 0; t < B; ++t) {
+    const int64_t k = tkeys[t];
+    const int64_t x = (k >> 40) - 524288, y = ((k >> 20) & 0xFFFFF) - 524288,
+                  z = (k & 0xFFFFF) - 524288;
+    test_coords_out[3 * t] = x; test_coords_out[3 * t + 1] = y;
+    test_coords_out[3 * t + 2] = z;
+    for (int g = 0; g < G; ++g) {
+      const int64_t q = PackKey(x + nb_off[3 * g], y + nb_off[3 * g + 1],
+                                z + nb_off[3 * g + 2]);
+      auto it = std::lower_bound(ukeys.begin(), ukeys.end(), q);
+      if (it != ukeys.end() && *it == q) {
+        const int m = (int)(it - ukeys.begin());
+        test_starts_out[(size_t)t * G + g] = ustart[m];
+        test_counts_out[(size_t)t * G + g] = ucount[m];
+      } else {
+        test_starts_out[(size_t)t * G + g] = 0;
+        test_counts_out[(size_t)t * G + g] = 0;
+      }
+    }
+  }
+  *n_test_out = B;
   return 0;
 }
 
