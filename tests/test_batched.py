@@ -155,3 +155,47 @@ def test_gp_dense_block_tier():
     assert m.pool.n_blocks > 0
     leaves = m.leaves()
     assert np.isfinite(leaves["prob"][leaves["state"] != 0]).all()
+
+
+def test_bgk_chunked_long_sequence_equals_sequential():
+    """A sequence longer than the per-dispatch scan budget exercises the
+    chunk boundary: buffered futures drain into multiple dispatches, each
+    resuming from the previous chunk's pool state.  Must equal the
+    sequential loop up to f32 reassociation."""
+    from la3dm_tpu.models import bgk as B
+    from la3dm_tpu.utils.config import load_method_config
+
+    assert B._SCAN_BATCH == 16
+    cfg = load_method_config("bgk")
+    base = _scans(9)
+    scans = base + base  # 18 scans → chunks of 16 + 2
+    m_seq = B.BGKOctoMap(cfg)
+    for cloud, origin in scans:
+        m_seq.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
+                                max_range=6.0)
+    m_bat = B.BGKOctoMap(cfg)
+    m_bat.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                             ds_resolution=cfg.resolution, max_range=6.0)
+    _compare(m_seq, m_bat, atol=5e-4)
+    assert m_bat.pool.eff_level.dtype == m_seq.pool.eff_level.dtype
+    np.testing.assert_array_equal(
+        np.asarray(m_seq.pool.eff_level[: m_seq.pool.n_blocks]),
+        np.asarray(m_bat.pool.eff_level[: m_bat.pool.n_blocks]))
+
+
+def test_bgklv_chunked_long_sequence_equals_sequential():
+    from la3dm_tpu.models import bgklv as LV
+    from la3dm_tpu.utils.config import load_method_config
+
+    assert LV._SCAN_BATCH == 12
+    cfg = load_method_config("bgklv")
+    base = _scans(7)
+    scans = base + base  # 14 scans → chunks of 12 + 2
+    m_seq = LV.BGKLVOctoMap(cfg)
+    for cloud, origin in scans:
+        m_seq.insert_pointcloud(cloud, origin, ds_resolution=cfg.resolution,
+                                max_range=6.0)
+    m_bat = LV.BGKLVOctoMap(cfg)
+    m_bat.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                             ds_resolution=cfg.resolution, max_range=6.0)
+    _compare(m_seq, m_bat, atol=5e-4)

@@ -130,3 +130,89 @@ def test_bgkl_training_data_bitwise(rng):
         assert np.array_equal(a.rays, b.rays)
         assert np.array_equal(a.samples, b.samples)
         assert np.array_equal(a.sample_ray, b.sample_ray)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_scan_bucket_tables_bitwise(rng):
+    """Fused C++ bucketing (point families) == the numpy pipeline on every
+    output, including the GP model/neighbor-row view and entry ORDER within
+    blocks (f32 accumulation order feeds the k̄ gates)."""
+    from la3dm_tpu.geometry import blocks as geo
+    from la3dm_tpu.models import bucketing
+
+    pts = rng.uniform(-2, 2, (4000, 3)).astype(np.float32)
+    pts[:16] = np.round(pts[:16] / 0.4) * 0.4     # exact face-plane points
+    labels = (rng.uniform(size=len(pts)) > 0.5).astype(np.float32)
+    offs = geo.FACE_NEIGHBOR_OFFSETS
+    bs = 0.8
+    out = native.scan_bucket_tables(pts, labels, bs, offs)
+
+    coords, idx = geo.point_block_memberships(pts, bs)
+    t = bucketing.bucket_tables(coords, pts[idx], labels[idx], offs)
+    assert np.array_equal(out["entries"], t.entries)
+    assert np.array_equal(out["labels"], t.labels)
+    assert np.array_equal(out["test_coords"], t.test_coords)
+    assert np.array_equal(out["starts"], t.starts)
+    assert np.array_equal(out["counts"], t.counts)
+
+    order, ukeys, mstarts, mcounts = bucketing.group_by_block(coords)
+    assert np.array_equal(out["model_starts"], mstarts)
+    assert np.array_equal(out["model_counts"], mcounts)
+    assert np.array_equal(out["model_coords"], geo.unpack_key(ukeys))
+    test_keys = geo.pack_key(t.test_coords)
+    mcoords = geo.unpack_key(ukeys)
+    nb_ref = np.empty((len(ukeys), len(offs)), np.int32)
+    for s, off in enumerate(offs):
+        nb_ref[:, s] = np.searchsorted(test_keys, geo.pack_key(mcoords - off[None, :]))
+    assert np.array_equal(out["nb_t"], nb_ref)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_bgkl_scan_tables_bitwise(rng):
+    """Fused C++ BGKL bucketing (segment entries, per-block ray dedup) ==
+    segment_block_entries + bucket_tables on a real preprocessed scan."""
+    from la3dm_tpu.geometry import blocks as geo
+    from la3dm_tpu.models import bucketing
+    from la3dm_tpu.models.bgkl import segment_block_entries
+
+    cloud, origin = synthetic_scan(rng, n=250)
+    td = native.bgkl_training_data(cloud, origin, 0.1, 0.3, 6.0)
+    offs = geo.FACE_NEIGHBOR_OFFSETS
+    bs = 0.8
+    out = native.bgkl_scan_tables(td.hits, td.rays, td.samples, td.sample_ray,
+                                  bs, offs)
+    coords, entries, labels = segment_block_entries(td, bs)
+    t = bucketing.bucket_tables(coords, entries, labels, offs)
+    assert np.array_equal(out["entries"], t.entries)
+    assert np.array_equal(out["labels"], t.labels)
+    assert np.array_equal(out["test_coords"], t.test_coords)
+    assert np.array_equal(out["starts"], t.starts)
+    assert np.array_equal(out["counts"], t.counts)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_row_tables_native_matches_numpy(rng):
+    from la3dm_tpu.geometry import blocks as geo
+    from la3dm_tpu.models import bucketing
+    import la3dm_tpu.geometry.native as nat
+    from la3dm_tpu.models.bgk import BGKOctoMap, _ROW_W
+    from la3dm_tpu.utils.config import MapConfig
+
+    cfg = MapConfig(method="bgk", resolution=0.1, block_depth=3, sf2=1.0,
+                    ell=0.2, max_range=8.0)
+    m = BGKOctoMap(cfg)
+    pts = rng.uniform(-2, 2, (2500, 3)).astype(np.float32)
+    labels = (rng.uniform(size=len(pts)) > 0.5).astype(np.float32)
+    coords, idx = geo.point_block_memberships(pts, m.block_size)
+    t = bucketing.bucket_tables(coords, pts[idx], labels[idx],
+                                m._neighbor_offsets)
+    got = nat.row_tables(t.starts, t.counts, _ROW_W)
+    orig = nat.row_tables
+    nat.row_tables = lambda *a, **k: None   # force the numpy branch
+    try:
+        want = m._row_tables(t)
+    finally:
+        nat.row_tables = orig
+    for a, b, name in zip(got, want, ("ids", "gslot", "row_block",
+                                      "row_start", "row_count", "totals")):
+        assert np.array_equal(np.asarray(a, np.int64), np.asarray(b, np.int64)), name
