@@ -151,6 +151,9 @@ int lv_training_data(const float* cloud, int n_cloud, const float* origin3,
     r0[j] = std::sqrt(dx * dx + dy * dy + dz * dz);
   }
   const double infsq = influence * influence;
+  std::vector<int> cand;
+  cand.reserve(64);
+  std::vector<uint8_t> cmask(H);
 
   for (int i = 0; i < H; ++i) {
     const V3 p = hits[i];
@@ -175,11 +178,29 @@ int lv_training_data(const float* cloud, int n_cloud, const float* origin3,
     const double lvsq = (double)lvx * lvx + (double)lvy * lvy + (double)lvz * lvz;
     const double lvn = std::sqrt(lvsq);
     // nearby filter + sequential shrinking, in hit order (:339-386).
-    // All comparisons on squared distances (sqrt is monotone) — the sqrt
-    // pair per (ray, hit) dominated preprocessing cost at O(hits²).
+    // Two passes: a branch-light vectorizable SUPERSET filter — the exact
+    // update below requires perpendicular-to-line distance < ℓ, a property
+    // of the fixed ray line, invariant under the shrinking l — then the
+    // EXACT reference-order sequential loop over the few candidates.  (No
+    // projection-based filter: l's ulp drift via the float endpoint makes
+    // any b-bound fragile; perp alone prunes ~99% of pairs.)  All
+    // comparisons on squared distances (sqrt is monotone) — the O(hits²)
+    // full loop dominated preprocessing cost.
     const bool high_ray = p.z > offset + oz;
     const double zcut = oz + influence;
+    const double inf_margin = infsq * (1.0 + 1e-9) + 1e-12;  // fp-safe superset
+    // branchless mask pass (auto-vectorizes), then index collection
+    const double thr = inf_margin * lvsq;
     for (int j = 0; j < H; ++j) {
+      const double b = dxo[j] * lvx + dyo[j] * lvy + dzo[j] * lvz;
+      // perp² < margin ⇔ r0²·lvsq − b² < margin·lvsq (lvsq > 0)
+      cmask[j] = (r0[j] * r0[j] * lvsq - b * b) < thr;
+    }
+    cand.clear();
+    for (int j = 0; j < H; ++j)
+      if (cmask[j]) cand.push_back(j);
+    for (int cj = 0; cj < (int)cand.size(); ++cj) {
+      const int j = cand[cj];
       if (max_range > 0 && r0[j] > max_range) continue;
       if (high_ray && (double)hits[j].z < zcut) continue;
       const double e1 = (double)endp.x - hits[j].x, e2 = (double)endp.y - hits[j].y,
