@@ -226,3 +226,23 @@ def test_frontier_query():
     assert len(f["x"]) > 0
     assert (f["z"] >= -1.0).all() and (f["z"] <= 1.0).all()
     assert (f["prob"] < 0.45).all() and (f["var"] > 1e-4).all()
+
+
+def test_raycast_and_frontier_cli(tmp_path):
+    """The new CLI subcommands end-to-end against a saved checkpoint."""
+    from la3dm_tpu import cli
+
+    m = _occupied_wall_map()
+    ckpt = str(tmp_path / "m.npz")
+    m.save(ckpt)
+    rc = cli.main(["raycast", "--method", "bgk", "--checkpoint", ckpt,
+                   "--max-range", "6", "0,0.3,0.2,3,0.3,0.2"])
+    assert rc == 0
+    out_csv = str(tmp_path / "f.csv")
+    rc = cli.main(["frontier", "--method", "bgk", "--checkpoint", ckpt,
+                   "--var-min", "0.0001", "--prob-max", "0.45",
+                   "--z-min", "-1", "--z-max", "1", "--out", out_csv])
+    assert rc == 0
+    import os
+
+    assert os.path.getsize(out_csv) > 0
