@@ -76,7 +76,12 @@ def cmd_static(args) -> int:
                                     "free", cfg.resolution, min_z, max_z)
         markers.export_csv(args.out + "_occupied.csv", ex["occupied"])
         res.map.save(args.out + "_map.npz")
-        print(f"Exported {n_occ} occupied + {n_free} free voxels to {args.out}_*")
+        from la3dm_tpu.viz.html import export_html
+
+        export_html(args.out + "_map.html", ex["all"], cfg.resolution,
+                    title=f"{cfg.method} / {ds.name} ({ds.scan_num} scans)")
+        print(f"Exported {n_occ} occupied + {n_free} free voxels to {args.out}_* "
+              f"(open {args.out}_map.html to inspect)")
     else:
         print(f"{len(ex['occupied']['x'])} occupied, {len(ex['free']['x'])} free voxels")
     return 0

@@ -246,3 +246,31 @@ def test_raycast_and_frontier_cli(tmp_path):
     import os
 
     assert os.path.getsize(out_csv) > 0
+
+
+def test_html_viewer_export(tmp_path):
+    """Single-file WebGL viewer: placeholders filled, embedded arrays decode
+    to consistent lengths, counts match the map's leaf sets."""
+    import base64
+    import re
+
+    from la3dm_tpu.viz.html import export_html
+
+    m = _occupied_wall_map()
+    leaves = m.leaves()
+    path = str(tmp_path / "map.html")
+    n = export_html(path, leaves, m.cfg.resolution, title="test")
+    html = open(path).read()
+    assert "__OCC_POS__" not in html and "__META__" not in html
+    occ_n = int((leaves["state"] == 1).sum())
+    fre_n = int((leaves["state"] == 0).sum())
+    assert n == occ_n + fre_n and occ_n > 0
+
+    def grab(name):
+        mt = re.search(f'{name}="([^"]*)"', html)
+        return base64.b64decode(mt.group(1))
+
+    assert len(grab("OCC_POS")) == occ_n * 12    # [n,3] f32
+    assert len(grab("OCC_COL")) == occ_n * 3     # [n,3] u8
+    assert len(grab("OCC_SIZE")) == occ_n * 4
+    assert len(grab("FREE_POS")) == fre_n * 12
