@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from la3dm_tpu.geometry import blocks as geo
 from la3dm_tpu.models import base
@@ -34,7 +35,16 @@ from la3dm_tpu.utils.config import MapConfig
 
 
 class ShardedBlockPool(base.BlockPool):
-    """Fixed-capacity pool with device-interleaved slot assignment."""
+    """Device-interleaved slot assignment; grows by resharding.
+
+    Growth doubles capacity and re-lays-out every shard: slot ids are
+    chunk-relative ((c % n_dev)·chunk + c//n_dev), so the old slot c maps to
+    a new slot under the doubled chunk — a device-side gather re-places all
+    per-block rows, and the host key→slot dict is rebuilt.  Growth happens
+    between scans (``ensure`` runs host-side), so jitted step shapes change
+    only at that boundary — one recompile per doubling, like the unsharded
+    pool.
+    """
 
     def __init__(self, voxels_per_block, fields, capacity, mesh):
         n_dev = len(mesh.devices.flat)
@@ -50,9 +60,38 @@ class ShardedBlockPool(base.BlockPool):
         self.eff_level = jax.device_put(self.eff_level, self.sharding)
 
     def _grow(self, min_capacity):
-        raise RuntimeError(
-            f"sharded pool capacity {self.capacity} exhausted; construct with "
-            f"capacity ≥ {min_capacity}")
+        new_cap = self.capacity
+        while new_cap < min_capacity:
+            new_cap *= 2
+        new_chunk = new_cap // self.n_dev
+        # old slot of block c → new slot of block c (both chunk-relative)
+        order = np.argsort(list(self._slot_of.values()))  # stable map rebuild
+        keys = np.asarray(list(self._slot_of.keys()), np.int64)[order]
+        old_slots = np.asarray(list(self._slot_of.values()), np.int64)[order]
+        c_of = (old_slots % self.chunk) * self.n_dev + old_slots // self.chunk
+        new_slots = (c_of % self.n_dev) * new_chunk + c_of // self.n_dev
+
+        src = np.full(new_cap, self.capacity, np.int64)  # gather index (old)
+        src[new_slots] = old_slots
+        src_dev = jax.device_put(jnp.asarray(src), pm.replicated(self.mesh))
+
+        def regather(arr, fill):
+            padded = jnp.concatenate(
+                [arr, jnp.full((1, self.V), fill, arr.dtype)])
+            out = padded[src_dev]
+            return jax.device_put(out, self.sharding)
+
+        for name, arr in self.fields.items():
+            self.fields[name] = regather(arr, self._fills[name])
+        self.touched = regather(self.touched, False)
+        self.eff_level = regather(self.eff_level, 0)
+
+        new_coords = np.zeros((new_cap, 3), np.int64)
+        new_coords[new_slots] = self.coords[old_slots]
+        self.coords = new_coords
+        self._slot_of = {int(k): int(s) for k, s in zip(keys, new_slots)}
+        self.capacity = new_cap
+        self.chunk = new_chunk
 
     def ensure(self, coords: np.ndarray) -> np.ndarray:
         keys = geo.pack_key(coords)
@@ -67,8 +106,10 @@ class ShardedBlockPool(base.BlockPool):
                 s = (c % self.n_dev) * self.chunk + c // self.n_dev
                 self._slot_of[int(k)] = s
                 self.coords[s] = coords[i]
+                slots[i] = s
                 self.n_blocks += 1
-            slots[i] = s
+            else:
+                slots[i] = s
         return slots
 
     def active_slots(self) -> np.ndarray:

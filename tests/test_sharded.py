@@ -83,3 +83,28 @@ def test_sharded_search_and_leaves(rng):
     assert len(leaves["x"]) > 0
     out = m.search(cloud[:5])
     assert out["prob"].shape == (5,)
+
+
+def test_sharded_pool_growth(rng):
+    """A sharded pool that starts too small reshards itself (double capacity,
+    re-place every block) and still matches the single-device map per voxel."""
+    mesh = pm.block_mesh(8)
+    single = BGKOctoMap(CFG)
+    sharded = ShardedBGKOctoMap(CFG, mesh=mesh, capacity=16)  # will grow
+    for i in range(2):
+        cloud, origin = synthetic_scan(rng, n=80, origin=(0.1, -0.2 + 0.3 * i, 0.3))
+        single.insert_pointcloud(cloud, origin)
+        sharded.insert_pointcloud(cloud, origin)
+    assert sharded.pool.capacity > 16
+    assert sharded.pool.capacity % 8 == 0
+
+    d1 = _as_voxel_dict(single)
+    d2 = _as_voxel_dict(sharded)
+    assert set(d1) == set(d2)
+    for c in d1:
+        f1, e1 = d1[c]
+        f2, e2 = d2[c]
+        for k in f1:
+            np.testing.assert_allclose(f1[k], f2[k], atol=1e-5, rtol=1e-5,
+                                       err_msg=f"{c} {k}")
+        np.testing.assert_array_equal(e1, e2, err_msg=str(c))
