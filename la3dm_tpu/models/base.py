@@ -88,6 +88,12 @@ class BlockPool:
         self.touched = jnp.zeros((capacity, self.V), dtype=bool)
         self.eff_level = jnp.zeros((capacity, self.V), dtype=jnp.int8)
         self._fills = dict(fields)
+        #: growth generation.  This pool's growth appends (slot ids are
+        #: stable), so it never changes; the sharded pool bumps it on every
+        #: _grow because growth there re-lays-out every slot.  Engines that
+        #: cache slot ids across ensure() calls compare generations and
+        #: re-resolve via lookup() when it moved.
+        self.generation = 0
 
     def __len__(self) -> int:
         return self.n_blocks

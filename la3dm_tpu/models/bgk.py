@@ -369,13 +369,15 @@ class BGKOctoMap(base.OccupancyMapBase):
         ent_parts, lab_parts = [], []
         ids_parts, gs_parts = [], []
         rb_parts, rs_parts, rn_parts = [], [], []
-        slot_parts, ctr_parts = [], []
+        slot_parts, ctr_parts, coord_parts = [], [], []
         scan_start, scan_count = [], []
         ent_off = 0
         id_off = 0
         blk_off = 0
+        gen0 = self.pool.generation
         for t in tables:
             slots = self.pool.ensure(t.test_coords)
+            coord_parts.append(t.test_coords)
             centers = self.block_centers(t.test_coords).astype(np.float32)
             ids, gslot, row_block, row_start, row_count, totals = \
                 self._row_tables(t)
@@ -404,6 +406,11 @@ class BGKOctoMap(base.OccupancyMapBase):
         row_start = np.concatenate(rs_parts)
         row_count = np.concatenate(rn_parts)
         slots_flat = np.concatenate(slot_parts)
+        if self.pool.generation != gen0:
+            # sharded pool grew while later tables were ensured: earlier
+            # tables' slot ids were remapped — re-resolve the whole batch
+            slots_flat = self.pool.lookup(
+                np.concatenate(coord_parts, axis=0)).astype(np.int32)
         centers_flat = np.concatenate(ctr_parts, axis=0)
         K_scans = len(tables)
         Bt_max = max(scan_count)

@@ -453,7 +453,8 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         ri_ = _intra(r_count)
         ids[np.repeat(mstart + h_count, r_count) + ri_] = \
             rays_sorted[np.repeat(r_start, r_count) + ri_].astype(np.int64) + H
-        return {"slots": slots, "pos_id": pos_id, "centers": centers,
+        return {"slots": slots, "blk_coords": blk_coords[keep],
+                "pos_id": pos_id, "centers": centers,
                 "mcount": mcount, "ids": ids, "td": td}
 
     def _integrate_many(self, tds: list, tables: list | None = None) -> None:
@@ -468,10 +469,16 @@ class BGKLVOctoMap(base.OccupancyMapBase):
                                      tables[i:i + _SCAN_BATCH])
             return
         t_host0 = time.perf_counter()
+        gen0 = self.pool.generation
         scans = [s for s in (self._scan_rows(td, tb)
                              for td, tb in zip(tds, tables)) if s is not None]
         if not scans:
             return
+        if self.pool.generation != gen0:
+            # sharded pool grew while later scans' candidate sweeps were
+            # ensured: earlier scans' slot ids were remapped — re-resolve
+            for s in scans:
+                s["slots"] = self.pool.lookup(s["blk_coords"]).astype(np.int32)
         W = _ROW_W
 
         # global entries: per scan [hits as degenerate segments; rays]

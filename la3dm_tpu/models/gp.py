@@ -317,12 +317,14 @@ class GPOctoMap(base.OccupancyMapBase):
 
         pts_parts, lab_parts = [], []
         st_parts, ct_parts, nb_parts = [], [], []
-        slot_parts, ctr_parts = [], []
+        slot_parts, ctr_parts, coord_parts = [], [], []
         scan_start, scan_count = [], []
         pt_off = 0
         blk_off = 0
+        gen0 = self.pool.generation
         for t in tables:
             slots = self.pool.ensure(t["test_coords"])
+            coord_parts.append(t["test_coords"])
             pts_parts.append(t["pts"])
             lab_parts.append(t["lab"])
             st_parts.append(t["starts"] + pt_off)
@@ -344,6 +346,11 @@ class GPOctoMap(base.OccupancyMapBase):
         counts = np.concatenate(ct_parts)
         nb_t = np.concatenate(nb_parts, axis=0)
         slots_flat = np.concatenate(slot_parts)
+        if self.pool.generation != gen0:
+            # sharded pool grew while later tables were ensured: earlier
+            # tables' slot ids were remapped — re-resolve the whole batch
+            slots_flat = self.pool.lookup(
+                np.concatenate(coord_parts, axis=0)).astype(np.int32)
         centers_flat = np.concatenate(ctr_parts, axis=0)
         Bt_max = max(scan_count)
 

@@ -60,6 +60,7 @@ class ShardedBlockPool(base.BlockPool):
         self.eff_level = jax.device_put(self.eff_level, self.sharding)
 
     def _grow(self, min_capacity):
+        self.generation += 1  # invalidates previously returned slot ids
         new_cap = self.capacity
         while new_cap < min_capacity:
             new_cap *= 2
@@ -96,6 +97,7 @@ class ShardedBlockPool(base.BlockPool):
     def ensure(self, coords: np.ndarray) -> np.ndarray:
         keys = geo.pack_key(coords)
         slots = np.empty(len(keys), dtype=np.int32)
+        gen0 = self.generation
         for i, k in enumerate(keys):
             s = self._slot_of.get(int(k), -1)
             if s < 0:
@@ -110,6 +112,11 @@ class ShardedBlockPool(base.BlockPool):
                 self.n_blocks += 1
             else:
                 slots[i] = s
+        if self.generation != gen0:
+            # a mid-call _grow remapped every slot; ids written before it are
+            # stale — re-resolve the whole batch against the final layout
+            for i, k in enumerate(keys):
+                slots[i] = self._slot_of[int(k)]
         return slots
 
     def active_slots(self) -> np.ndarray:

@@ -26,24 +26,15 @@ def _as_voxel_dict(m):
     return out
 
 
-@pytest.mark.parametrize("cls_pair,cfg", [
+FAMILIES = [
     ((BGKOctoMap, ShardedBGKOctoMap), CFG),
     ((BGKLOctoMap, ShardedBGKLOctoMap), BGKL_CFG),
     ((BGKLVOctoMap, ShardedBGKLVOctoMap), LV_CFG),
     ((GPOctoMap, ShardedGPOctoMap), GP_CFG),
-])
-def test_sharded_matches_single(rng, cls_pair, cfg):
-    single_cls, sharded_cls = cls_pair
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    mesh = pm.block_mesh(8)
+]
 
-    single = single_cls(cfg)
-    sharded = sharded_cls(cfg, mesh=mesh, capacity=2048)
-    for i in range(2):
-        cloud, origin = synthetic_scan(rng, n=80, origin=(0.1, -0.2 + 0.3 * i, 0.3))
-        single.insert_pointcloud(cloud, origin)
-        sharded.insert_pointcloud(cloud, origin)
 
+def _assert_maps_equal(single, sharded, cfg):
     dv_single = _as_voxel_dict(single)
     dv_sharded = _as_voxel_dict(sharded)
     assert set(dv_single) == set(dv_sharded)
@@ -67,6 +58,22 @@ def test_sharded_matches_single(rng, cls_pair, cfg):
                                            err_msg=f"{c} {k}")
         np.testing.assert_array_equal(es, eh, err_msg=str(c))
 
+
+@pytest.mark.parametrize("cls_pair,cfg", FAMILIES)
+def test_sharded_matches_single(rng, cls_pair, cfg):
+    single_cls, sharded_cls = cls_pair
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = pm.block_mesh(8)
+
+    single = single_cls(cfg)
+    sharded = sharded_cls(cfg, mesh=mesh, capacity=2048)
+    for i in range(2):
+        cloud, origin = synthetic_scan(rng, n=80, origin=(0.1, -0.2 + 0.3 * i, 0.3))
+        single.insert_pointcloud(cloud, origin)
+        sharded.insert_pointcloud(cloud, origin)
+
+    _assert_maps_equal(single, sharded, cfg)
+
     # slots spread across device chunks
     slots = sharded.pool.active_slots()
     chunk = sharded.pool.chunk
@@ -85,26 +92,27 @@ def test_sharded_search_and_leaves(rng):
     assert out["prob"].shape == (5,)
 
 
-def test_sharded_pool_growth(rng):
+@pytest.mark.parametrize("cls_pair,cfg", FAMILIES)
+def test_sharded_pool_growth(rng, cls_pair, cfg):
     """A sharded pool that starts too small reshards itself (double capacity,
-    re-place every block) and still matches the single-device map per voxel."""
+    re-place every block) and still matches the single-device map per voxel.
+
+    The scans go in as ONE batched insert_pointclouds call, so growth
+    triggered by a later scan's ensure() remaps slot ids the engine already
+    collected for earlier scans — the cross-table re-resolution path."""
+    single_cls, sharded_cls = cls_pair
     mesh = pm.block_mesh(8)
-    single = BGKOctoMap(CFG)
-    sharded = ShardedBGKOctoMap(CFG, mesh=mesh, capacity=16)  # will grow
+    single = single_cls(cfg)
+    sharded = sharded_cls(cfg, mesh=mesh, capacity=16)  # will grow
+    clouds, origins = [], []
     for i in range(2):
         cloud, origin = synthetic_scan(rng, n=80, origin=(0.1, -0.2 + 0.3 * i, 0.3))
-        single.insert_pointcloud(cloud, origin)
-        sharded.insert_pointcloud(cloud, origin)
+        clouds.append(cloud)
+        origins.append(origin)
+    single.insert_pointclouds(clouds, origins)
+    sharded.insert_pointclouds(clouds, origins)
     assert sharded.pool.capacity > 16
     assert sharded.pool.capacity % 8 == 0
+    assert sharded.pool.generation > 0
 
-    d1 = _as_voxel_dict(single)
-    d2 = _as_voxel_dict(sharded)
-    assert set(d1) == set(d2)
-    for c in d1:
-        f1, e1 = d1[c]
-        f2, e2 = d2[c]
-        for k in f1:
-            np.testing.assert_allclose(f1[k], f2[k], atol=1e-5, rtol=1e-5,
-                                       err_msg=f"{c} {k}")
-        np.testing.assert_array_equal(e1, e2, err_msg=str(c))
+    _assert_maps_equal(single, sharded, cfg)
