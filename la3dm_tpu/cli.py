@@ -76,6 +76,9 @@ def cmd_static(args) -> int:
                                     "free", cfg.resolution, min_z, max_z)
         markers.export_csv(args.out + "_occupied.csv", ex["occupied"])
         res.map.save(args.out + "_map.npz")
+        from la3dm_tpu.io.octomap_bt import write_bt_from_map
+
+        write_bt_from_map(args.out + "_map.bt", res.map)  # octovis-openable
         from la3dm_tpu.viz.html import export_html
 
         export_html(args.out + "_map.html", ex["all"], cfg.resolution,

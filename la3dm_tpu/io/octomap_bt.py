@@ -105,6 +105,143 @@ def read_bt(path: str) -> dict:
     }
 
 
+def write_bt(path: str, centers: np.ndarray, sizes: np.ndarray,
+             occupied: np.ndarray, resolution: float) -> None:
+    """Write leaves as a standard OctoMap ``.bt`` file (inverse of read_bt).
+
+    The output opens in the OctoMap ecosystem's own tools (octovis,
+    octomap_server) — the reference's evaluation artifacts
+    (``data/*/map.bt``) are this format.  Unknown space is simply absent
+    (code 0b00), exactly as OcTree::writeBinary leaves it.
+
+    centers [L,3] must lie on the octomap grid for ``resolution`` (odd
+    multiples of size/2 per axis); sizes [L] must be resolution·2^k.
+    """
+    centers = np.asarray(centers, np.float64)
+    sizes = np.asarray(sizes, np.float64)
+    occupied = np.asarray(occupied, bool)
+    root_size = resolution * (1 << _MAX_DEPTH)
+
+    # depth of each leaf: root_size / 2^d == size
+    depths = np.round(np.log2(root_size / np.maximum(sizes, 1e-300))).astype(int)
+    if len(depths) and (depths.min() < 1 or depths.max() > _MAX_DEPTH):
+        raise ValueError("leaf sizes out of range for a depth-16 octomap")
+
+    # insert: descend from the root by center comparison (the exact inverse
+    # of read_node's ±q child-center arithmetic)
+    root: list = [None] * 8
+    for (x, y, z), d, o in zip(centers, depths, occupied):
+        node = root
+        cx = cy = cz = 0.0
+        s = root_size
+        for level in range(d):
+            i = (int(x > cx)) | (int(y > cy) << 1) | (int(z > cz) << 2)
+            q = s / 4.0
+            cx += q if (i & 1) else -q
+            cy += q if (i & 2) else -q
+            cz += q if (i & 4) else -q
+            s /= 2.0
+            if level == d - 1:
+                if node[i] is not None:
+                    raise ValueError(f"duplicate/overlapping leaf at {(x, y, z)}")
+                node[i] = bool(o)
+            else:
+                child = node[i]
+                if child is None:
+                    child = node[i] = [None] * 8
+                elif not isinstance(child, list):
+                    raise ValueError(f"leaf above leaf at {(x, y, z)}")
+                node = child
+
+    # depth-first serialization, 2 bits per child (read_bt's codes)
+    out = bytearray()
+    n_nodes = 1  # root
+
+    def emit(node: list) -> None:
+        nonlocal n_nodes
+        bits = 0
+        for i in range(8):
+            c = node[i]
+            if c is None:
+                code = 0
+            elif c is True:
+                code = 2  # occupied leaf
+            elif c is False:
+                code = 1  # free leaf
+            else:
+                code = 3  # inner child
+            bits |= code << (2 * i)
+        out.append(bits & 0xFF)
+        out.append(bits >> 8)
+        for i in range(8):
+            c = node[i]
+            if c is not None:
+                n_nodes += 1
+                if isinstance(c, list):
+                    emit(c)
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000)
+    try:
+        emit(root)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    with open(path, "wb") as f:
+        f.write(b"# Octomap OcTree binary file\n")
+        f.write(b"# (created by la3dm_tpu write_bt)\n")
+        f.write(b"id OcTree\n")
+        f.write(f"size {n_nodes}\n".encode())
+        f.write(f"res {resolution!r}\n".encode())
+        f.write(b"data\n")
+        f.write(bytes(out))
+
+
+def write_bt_from_map(path: str, m) -> None:
+    """Export a map's classified leaves (OCCUPIED/FREE; UNKNOWN omitted) as
+    a .bt at the map's resolution, keeping pruned leaves coarse where the
+    global octomap grid allows.
+
+    The map's block octrees are centered on ``k·block_size`` (the reference
+    geometry), so a block's coarsest nodes sit half a cell off the global
+    power-of-two grid an OcTree nests on; such leaves are split into their
+    (aligned) children until every emitted node is grid-representable —
+    base-resolution voxels always are.
+    """
+    from la3dm_tpu.models.posterior import OCCUPIED, FREE
+
+    leaves = m.leaves(expand_pruned=False)
+    keep = (leaves["state"] == int(OCCUPIED)) | (leaves["state"] == int(FREE))
+    centers = np.stack([leaves["x"][keep], leaves["y"][keep],
+                        leaves["z"][keep]], axis=1).astype(np.float64)
+    sizes = leaves["size"][keep].astype(np.float64)
+    occ = leaves["state"][keep] == int(OCCUPIED)
+
+    res = float(m.cfg.resolution)
+    out_c, out_s, out_o = [], [], []
+    while len(sizes):
+        # aligned ⇔ center/size − ½ is integral per axis (cell [k·s,(k+1)·s))
+        frac = centers / sizes[:, None] - 0.5
+        ok = (np.abs(frac - np.round(frac)) < 1e-4).all(axis=1)
+        ok |= sizes <= res * 1.0001  # base voxels are aligned by construction
+        out_c.append(centers[ok])
+        out_s.append(sizes[ok])
+        out_o.append(occ[ok])
+        centers, sizes, occ = centers[~ok], sizes[~ok], occ[~ok]
+        if len(sizes):  # split each misaligned leaf into its 8 children
+            q = sizes[:, None] / 4.0
+            offs = np.array([[sx, sy, sz] for sz in (-1, 1)
+                             for sy in (-1, 1) for sx in (-1, 1)], np.float64)
+            centers = (centers[:, None, :] + q[..., None] * offs[None]).reshape(-1, 3)
+            sizes = np.repeat(sizes / 2.0, 8)
+            occ = np.repeat(occ, 8)
+
+    write_bt(path, np.concatenate(out_c), np.concatenate(out_s),
+             np.concatenate(out_o), res)
+
+
 def expand_to_voxels(bt: dict, resolution: float | None = None) -> dict:
     """Expand coarse leaves to base-resolution voxel centers (labels kept).
 

@@ -85,3 +85,72 @@ def test_cli_eval_smoke():
     assert 0 < rep["known"] <= rep["gt_voxels"]
     assert rep["auc"] > 0.6            # well over chance even at 2 scans
     assert 0 < rep["coverage"] < 1
+
+
+def test_write_bt_reencodes_ground_truth_byte_identically(bt, tmp_path):
+    """write_bt(read_bt(map.bt)) reproduces octomap's own bitstream AND its
+    node count byte-for-byte — the writer is pinned against an artifact this
+    repo did not generate, not just against our own reader."""
+    from la3dm_tpu.io.octomap_bt import read_bt, write_bt
+
+    p = tmp_path / "re.bt"
+    write_bt(str(p), bt["centers"], bt["sizes"], bt["occupied"],
+             bt["resolution"])
+
+    def sections(path):
+        raw = open(path, "rb").read()
+        cut = raw.index(b"data\n") + 5
+        hdr = dict(line.split(" ", 1) for line in
+                   raw[:cut].decode().splitlines()
+                   if line and " " in line and not line.startswith("#"))
+        return hdr, raw[cut:]
+
+    h_src, d_src = sections(BT)
+    h_got, d_got = sections(str(p))
+    assert d_got == d_src                       # 65,620-byte bitstream
+    assert h_got["size"] == h_src["size"]       # 171,287 tree nodes
+    assert float(h_got["res"]) == float(h_src["res"])
+
+    back = read_bt(str(p))
+    np.testing.assert_array_equal(back["centers"], bt["centers"])
+    np.testing.assert_array_equal(back["occupied"], bt["occupied"])
+
+
+def test_write_bt_from_map_roundtrip(tmp_path):
+    """A real map exports to .bt and reads back with the same classified
+    voxel set at base resolution.  Coarse pruned leaves survive where the
+    global octomap grid can represent them (block-center-aligned nodes are
+    half a cell off that grid and get split), so the .bt must have FEWER
+    leaves than the base-resolution expansion but the same voxel labels."""
+    from la3dm_tpu.io.octomap_bt import expand_to_voxels, read_bt, \
+        write_bt_from_map
+    from la3dm_tpu.io.pcd import load_pcd
+    from la3dm_tpu.models.bgk import BGKOctoMap
+    from la3dm_tpu.models import posterior
+    from la3dm_tpu.utils.config import load_method_config
+
+    m = BGKOctoMap(load_method_config("bgk", max_range=6.0))
+    cloud, origin = load_pcd(os.path.join(DATA, "sim_structured_1.pcd"))
+    m.insert_pointcloud(cloud, origin)
+    p = tmp_path / "m.bt"
+    write_bt_from_map(str(p), m)
+    back = read_bt(str(p))
+    vox = expand_to_voxels(back, m.cfg.resolution)
+
+    leaves = m.leaves(expand_pruned=True)
+    keep = leaves["state"] != posterior.UNKNOWN
+    want_c = np.stack([leaves["x"][keep], leaves["y"][keep],
+                       leaves["z"][keep]], 1)
+    assert (back["sizes"] > m.cfg.resolution * 1.5).any()  # kept some coarse
+    assert len(back["centers"]) < int(keep.sum())
+    assert len(vox["centers"]) == int(keep.sum()) > 0
+
+    def order(c):
+        return np.lexsort((c[:, 2], c[:, 1], c[:, 0]))
+
+    got = order(vox["centers"])
+    want = order(want_c)
+    np.testing.assert_allclose(vox["centers"][got], want_c[want], atol=1e-5)
+    np.testing.assert_array_equal(
+        vox["occupied"][got],
+        (leaves["state"][keep] == posterior.OCCUPIED)[want])
