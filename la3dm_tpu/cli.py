@@ -126,6 +126,9 @@ def cmd_server(args) -> int:
         markers.export_ply(args.out + "_occupied.ply", ex["occupied"], "occupied",
                            cfg.resolution, cfg.min_z, cfg.max_z)
         m.save(args.out + "_map.npz")
+        from la3dm_tpu.io.octomap_bt import write_bt_from_map
+
+        write_bt_from_map(args.out + "_map.bt", m)
     return 0
 
 
@@ -155,6 +158,9 @@ def cmd_bag(args) -> int:
         markers.export_ply(args.out + "_occupied.ply", ex["occupied"], "occupied",
                            cfg.resolution, cfg.min_z, cfg.max_z)
         m.save(args.out + "_map.npz")
+        from la3dm_tpu.io.octomap_bt import write_bt_from_map
+
+        write_bt_from_map(args.out + "_map.bt", m)
     return 0
 
 
