@@ -33,10 +33,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from la3dm_tpu.geometry import blocks as geo, preprocess
+from la3dm_tpu.geometry import blocks as geo, device_ingest, preprocess
 from la3dm_tpu.kernels import math as km
 from la3dm_tpu.kernels import predict as kp
-from la3dm_tpu.models import base, bucketing, posterior
+from la3dm_tpu.models import base, bucketing, ingest, posterior
 from la3dm_tpu.utils.config import MapConfig
 
 #: fixed entry-row width; per-block entry lists are cut into rows of W —
@@ -177,11 +177,80 @@ def _bgk_seq_step(A, Bv, touched, eff, all_nodes, node_idx_tab,
     return A, Bv, touched, eff
 
 
-class BGKOctoMap(base.OccupancyMapBase):
+class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
     """BGK occupancy map (ctor params: bgkoctomap.cpp:31-56)."""
 
     SEGMENTS = False
     GATE = 0.0  # update gate: k̄ > 0 (bgkoctomap.cpp:332)
+    SCAN_BATCH = _SCAN_BATCH
+
+    # ------------------------------------------------ device-side ingestion
+
+    def _ingest_enabled(self) -> bool:
+        # segment families (BGKL/BGKLV) keep the host pipeline for now
+        return not self.SEGMENTS and super()._ingest_enabled()
+
+    def _ingest_overflow_fallback(self, clouds, origins, ds, fr, mr) -> None:
+        tables = []
+        for c, o in zip(clouds, origins):
+            t0 = time.perf_counter()
+            t = self._scan_tables(c, o, ds, fr, mr)
+            self.stats["host_s"] += time.perf_counter() - t0
+            if t is not None:
+                tables.append(t)
+        self._integrate(tables)
+
+    def _dispatch_ingest_chunk(self, out, fetched, slots, centers, spec,
+                               K_pad: int, n_scans: int) -> None:
+        """Device tables → row tables → the sequence engine, zero host math."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        G = self.num_slots
+        W = _ROW_W
+        T = spec.T
+        Vall = self._all_nodes_host.shape[0]
+        cts = fetched["counts"]
+        n_mem = cts[:, 2]
+        # F = G·memberships exactly (each entry block feeds G test blocks);
+        # rows ≤ ⌈F/W⌉ + blocks — monotone pads keep executables stable
+        pad = _GLOBAL_PADS.setdefault(
+            ("ingest", type(self).__name__, cfg, K_pad),
+            {"F": 4096, "R": _CHUNK * 4})
+        pad["F"] = max(pad["F"], base.next_pow2(
+            max(int(n_mem.max(initial=0)) * G, 4096)))
+        pad["R"] = max(pad["R"], base.round_up(
+            int(n_mem.max(initial=0)) * G // W + int(cts[:, 4].max(initial=0))
+            + _CHUNK, _CHUNK))
+        Fp, Rp = pad["F"], pad["R"]
+
+        rows = device_ingest.rows_batch(out["tstart"], out["tcount"],
+                                        W=W, Fp=Fp, Rp=Rp, M=spec.M, T=T)
+        ss = np.arange(K_pad, dtype=np.int32) * T
+        sc = np.full(K_pad, T, np.int32)
+
+        if not hasattr(self, "_dev_consts"):
+            self._dev_consts = (jnp.asarray(self._all_nodes_host),
+                                jnp.asarray(self._node_idx_host))
+        an_dev, ni_dev = self._dev_consts
+        self.stats["kernel_evals"] += int(n_mem.sum()) * G * Vall
+        self.stats["scans"] += n_scans
+        self.stats["host_s"] += time.perf_counter() - t0
+
+        statics = dict(
+            W=W, chunk=_CHUNK, G=G, sf2=cfg.sf2, ell=cfg.ell,
+            gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
+            segments=self.SEGMENTS, state_fn=self._state_fn,
+            do_prune=cfg.block_depth > 1, scan_bt=T)
+        (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+         self.pool.eff_level) = _bgk_seq_step(
+            self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
+            self.pool.eff_level, an_dev, ni_dev,
+            out["ent"].reshape(K_pad * spec.M, 3),
+            out["lab"].reshape(K_pad * spec.M),
+            rows["ids"], rows["gslot"],
+            rows["row_block"], rows["row_start"], rows["row_count"],
+            jnp.asarray(slots), jnp.asarray(centers),
+            jnp.asarray(ss), jnp.asarray(sc), **statics)
 
     def _field_fills(self):
         # prior pseudo-counts are the pool fill values (bgkoctree_node.h:33)
@@ -208,6 +277,9 @@ class BGKOctoMap(base.OccupancyMapBase):
                           free_resolution: float | None = None,
                           max_range: float | None = None) -> None:
         """Integrate one scan (reference insert_pointcloud, bgkoctomap.cpp:214)."""
+        if self._insert_device([cloud], [origin], ds_resolution,
+                               free_resolution, max_range):
+            return
         t0 = time.perf_counter()
         t = self._scan_tables(cloud, origin, ds_resolution, free_resolution,
                               max_range)
@@ -223,12 +295,17 @@ class BGKOctoMap(base.OccupancyMapBase):
         scan's gate/update/prune in order; successive dispatches resume from
         the previous chunk's pool state exactly like successive scans do.
 
-        Chunks are STREAMED: scan preprocessing runs in a thread pool while
-        earlier chunks' (async) device dispatches execute, so host table
-        building and device compute overlap instead of serializing.
-        ``host_s`` counts main-thread host work + preprocessing stalls — the
-        host side of the critical path.
+        On TPU the whole preprocessing pipeline runs on-device
+        (geometry/device_ingest.py) — the host only pads raw clouds and
+        allocates pool slots.  On the host path, chunks are STREAMED: scan
+        preprocessing runs in a thread pool while earlier chunks' (async)
+        device dispatches execute, so host table building and device compute
+        overlap instead of serializing.  ``host_s`` counts main-thread host
+        work + preprocessing stalls — the host side of the critical path.
         """
+        if self._insert_device(clouds, origins, ds_resolution,
+                               free_resolution, max_range):
+            return
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
             futures = [ex.submit(self._scan_tables, c, o, ds_resolution,
                                  free_resolution, max_range)

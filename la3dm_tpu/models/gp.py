@@ -35,9 +35,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from la3dm_tpu.geometry import blocks as geo, preprocess
+from la3dm_tpu.geometry import blocks as geo, device_ingest, preprocess
 from la3dm_tpu.kernels import gp as kgp
-from la3dm_tpu.models import base, bucketing, posterior, pruning
+from la3dm_tpu.models import base, bucketing, ingest, posterior, pruning
 from la3dm_tpu.utils.config import MapConfig
 
 #: base tier size (point counts ≤ this go to the shared executable)
@@ -186,7 +186,29 @@ def _gp_light(m_ivar, ivar, touched, eff, node_idx_tab,
     return m_ivar, ivar, touched, eff
 
 
-class GPOctoMap(base.OccupancyMapBase):
+@functools.partial(jax.jit, static_argnames=("M", "T"))
+def _gp_tier_gather(ustart, ucount, nb_row, sel, M: int, T: int):
+    """Tier-selected model tables from the per-scan ingest outputs.
+
+    ``sel`` [Mp] flat (scan·Bu + block) indices (−1 ⇒ padding model); adds
+    the static per-scan offsets into the flattened point table ([K·M]) and
+    test-block list ([K·T]).
+    """
+    K, Bu = ustart.shape
+    ok = sel >= 0
+    s = jnp.clip(sel, 0) // Bu
+    b = jnp.clip(sel, 0) % Bu
+    st = ustart[s, b] + s * M
+    cn = jnp.where(ok, ucount[s, b], 0)
+    nb = jnp.where(ok[:, None] & (nb_row[s, b] < T),
+                   nb_row[s, b] + (s * T)[:, None], K * T)
+    return st.astype(jnp.int32), cn.astype(jnp.int32), nb.astype(jnp.int32)
+
+
+class GPOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
+    SCAN_BATCH = _SCAN_BATCH
+    _INGEST_FETCH = ("ucount",)
+
     def __init__(self, cfg: MapConfig):
         # min_ivar = 1/max_var etc. (gpoctomap.cpp:39-41)
         self.min_ivar = 1.0 / cfg.max_var
@@ -215,6 +237,9 @@ class GPOctoMap(base.OccupancyMapBase):
 
     def insert_pointcloud(self, cloud, origin, ds_resolution=None,
                           free_resolution=None, max_range=None) -> None:
+        if self._insert_device([cloud], [origin], ds_resolution,
+                               free_resolution, max_range):
+            return
         t0 = time.perf_counter()
         t = self._scan_model_tables(cloud, origin, ds_resolution,
                                     free_resolution, max_range)
@@ -225,8 +250,12 @@ class GPOctoMap(base.OccupancyMapBase):
                            free_resolution=None, max_range=None) -> None:
         """Integrate a scan sequence, ≤ _SCAN_BATCH scans per dispatch pair
         (one heavy dispatch per size tier — usually one — plus one light).
-        Chunks are streamed so preprocessing overlaps device compute
+        On TPU the preprocessing pipeline runs on-device; on the host path
+        chunks are streamed so preprocessing overlaps device compute
         (see bgk.py::insert_pointclouds)."""
+        if self._insert_device(clouds, origins, ds_resolution,
+                               free_resolution, max_range):
+            return
         with ThreadPoolExecutor(max_workers=min(8, max(len(clouds), 1))) as ex:
             futures = [ex.submit(self._scan_model_tables, c, o, ds_resolution,
                                  free_resolution, max_range)
@@ -302,6 +331,87 @@ class GPOctoMap(base.OccupancyMapBase):
                 "starts": starts.astype(np.int64),
                 "counts": counts.astype(np.int64),
                 "nb_t": nb_t, "test_coords": test_coords}
+
+    # ------------------------------------------------ device-side ingestion
+
+    def _ingest_overflow_fallback(self, clouds, origins, ds, fr, mr) -> None:
+        tables = []
+        for c, o in zip(clouds, origins):
+            t0 = time.perf_counter()
+            t = self._scan_model_tables(c, o, ds, fr, mr)
+            self.stats["host_s"] += time.perf_counter() - t0
+            if t is not None:
+                tables.append(t)
+        self._integrate(tables)
+
+    def _dispatch_ingest_chunk(self, out, fetched, slots, centers, spec,
+                               K_pad: int, n_scans: int) -> None:
+        """Device model tables → tiered heavy passes → BCM light pass."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        G = self.num_slots
+        T = spec.T
+        Vall = self._all_nodes_host.shape[0]
+        Tp = K_pad * T
+        ucount = fetched["ucount"]                           # [K,Bu]
+        counts = ucount[ucount > 0]
+        self.stats["kernel_evals"] += int(
+            (counts.astype(np.int64) ** 2).sum()
+            + counts.sum() * G * Vall)
+        self.stats["scans"] += n_scans
+
+        if not hasattr(self, "_dev_consts"):
+            self._dev_consts = (jnp.asarray(self._all_nodes_host),
+                                jnp.asarray(self._node_idx_host))
+        an_dev, ni_dev = self._dev_consts
+        pts_dev = out["ent"].reshape(K_pad * spec.M, 3)
+        lab_dev = out["lab"].reshape(K_pad * spec.M)
+        ctr_dev = jnp.asarray(centers)
+
+        acc_mean = jnp.zeros((Tp * G, Vall), jnp.float32)
+        acc_var = jnp.ones((Tp * G, Vall), jnp.float32)
+        present = jnp.zeros((Tp * G,), bool)
+
+        # tier selection over the fetched per-model counts (gp host path)
+        flat_idx = np.nonzero(ucount.reshape(-1) > 0)[0].astype(np.int32)
+        cflat = ucount.reshape(-1)[flat_idx]
+        mx = int(cflat.max(initial=0))
+        tier_caps = [_TIER0] if mx <= _TIER0 else [_TIER0, base.next_pow2(mx)]
+        pad = _GLOBAL_PADS.setdefault(
+            ("ingest", type(self).__name__, cfg, K_pad), {"tiers": {}})
+        lo = 0
+        for S in tier_caps:
+            sel = flat_idx[(cflat > lo) & (cflat <= S)]
+            lo = S
+            if len(sel) == 0:
+                continue
+            chunk = _chunk_for(S)
+            tp = pad["tiers"].setdefault(S, {"M": chunk})
+            tp["M"] = max(tp["M"], base.round_up(max(len(sel), chunk), chunk))
+            sel_p = np.full(tp["M"], -1, np.int32)
+            sel_p[:len(sel)] = sel
+            st_t, cn_t, nb_t = _gp_tier_gather(
+                out["ustart"], out["ucount"], out["nb_row"],
+                jnp.asarray(sel_p), M=spec.M, T=T)
+            acc_mean, acc_var, present = _gp_heavy(
+                acc_mean, acc_var, present, an_dev, pts_dev, lab_dev,
+                st_t, cn_t, nb_t, ctr_dev,
+                S=S, chunk=chunk, G=G, sf2=cfg.sf2, ell=cfg.ell,
+                noise=cfg.noise)
+
+        ss = np.arange(K_pad, dtype=np.int32) * T
+        sc = np.full(K_pad, T, np.int32)
+        self.stats["host_s"] += time.perf_counter() - t0
+        (self.pool.fields["m_ivar"], self.pool.fields["ivar"],
+         self.pool.touched, self.pool.eff_level) = _gp_light(
+            self.pool.fields["m_ivar"], self.pool.fields["ivar"],
+            self.pool.touched, self.pool.eff_level, ni_dev,
+            acc_mean, acc_var, present,
+            jnp.asarray(slots), jnp.asarray(ss), jnp.asarray(sc),
+            G=G, sf2=cfg.sf2, min_known_ivar=self.min_known_ivar,
+            max_ivar=self.max_ivar, n=self.n, max_level=cfg.block_depth - 1,
+            state_fn=self._state_fn, do_prune=cfg.block_depth > 1,
+            scan_bt=T)
 
     def _integrate(self, tables: list) -> None:
         if not tables:

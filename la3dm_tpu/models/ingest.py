@@ -1,0 +1,139 @@
+"""Shared device-ingestion plumbing for the map families.
+
+:class:`DeviceIngestMixin` drives :mod:`la3dm_tpu.geometry.device_ingest`
+for a scan sequence: pad raw clouds, enqueue the on-device preprocessing
+batch, fetch the tiny test-block key table, allocate pool slots, and hand
+the device-resident tables to the family's engine dispatch.  Families
+implement ``_dispatch_ingest_chunk``; unsupported configs (or per-chunk
+table overflows) fall back to the bit-exact host path chunk by chunk.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from la3dm_tpu.geometry import blocks as geo, device_ingest
+
+
+class DeviceIngestMixin:
+    """Chunked scan-sequence ingestion on the device (see module docstring)."""
+
+    #: device arrays the family's dispatch needs fetched to host (small)
+    _INGEST_FETCH: tuple = ()
+    #: max scans per device dispatch (set by the family)
+    SCAN_BATCH = 16
+
+    def _ingest_enabled(self) -> bool:
+        mode = getattr(self.cfg, "device_ingest", "auto")
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        return jax.default_backend() == "tpu"
+
+    def _ingest_spec(self, ds: float, fr: float, mr: float,
+                     max_pts: int) -> device_ingest.IngestSpec | None:
+        key = ("ingest_P", type(self).__name__, self.cfg)
+        cache = device_ingest._SPEC_PADS
+        P = max(cache.get(key, 4096), 1 << int(np.ceil(np.log2(max(max_pts, 1)))))
+        cache[key] = P
+        return device_ingest.spec_for(self.cfg, ds, fr, mr, P)
+
+    @property
+    def _off_keys_dev(self):
+        if not hasattr(self, "_off_keys_cache"):
+            self._off_keys_cache = jnp.asarray(
+                device_ingest._pack_offsets(self._neighbor_offsets))
+        return self._off_keys_cache
+
+    def _insert_device(self, clouds, origins, ds_resolution, free_resolution,
+                       max_range) -> bool:
+        """Integrate the sequence via device-side ingestion.
+
+        Returns False (nothing integrated) when the config does not support
+        the static bounds; chunks whose tables overflow the static pads are
+        integrated through the host path individually.
+        """
+        if not self._ingest_enabled() or not len(clouds):
+            return bool(len(clouds) == 0 and self._ingest_enabled())
+        cfg = self.cfg
+        ds = cfg.ds_resolution if ds_resolution is None else ds_resolution
+        fr = cfg.free_resolution if free_resolution is None else free_resolution
+        mr = cfg.max_range if max_range is None else max_range
+        spec = self._ingest_spec(ds, fr, mr, max(len(c) for c in clouds))
+        if spec is None:
+            return False
+        K = self.SCAN_BATCH
+        for i in range(0, len(clouds), K):
+            self._ingest_chunk(clouds[i:i + K], origins[i:i + K],
+                               ds, fr, mr, spec)
+        return True
+
+    def _ingest_chunk(self, clouds, origins, ds, fr, mr,
+                      spec: device_ingest.IngestSpec) -> None:
+        t0 = time.perf_counter()
+        n = len(clouds)
+        K_pad = 1 if n == 1 else self.SCAN_BATCH
+        cp = np.zeros((K_pad, spec.P, 3), np.float32)
+        npts = np.zeros(K_pad, np.int32)
+        op = np.zeros((K_pad, 3), np.float32)
+        for s, (c, o) in enumerate(zip(clouds, origins)):
+            cp[s, :len(c)] = c
+            npts[s] = len(c)
+            op[s] = np.asarray(o, np.float32).reshape(3)
+        self.stats["host_s"] += time.perf_counter() - t0
+
+        out = device_ingest.ingest_batch(
+            jnp.asarray(cp), jnp.asarray(npts), jnp.asarray(op),
+            self._off_keys_dev, spec)
+        fetch_names = ("tkey", "bias", "counts") + tuple(self._INGEST_FETCH)
+        fetched = {k: np.asarray(out[k]) for k in fetch_names}
+
+        t0 = time.perf_counter()
+        cts = fetched["counts"]  # [K,5]: hit_vox, free_vox, mem, ublk, test
+        if (cts[:, 1].max(initial=0) > spec.Pf
+                or cts[:, 3].max(initial=0) > spec.Bu
+                or cts[:, 4].max(initial=0) > spec.T):
+            # static pads overflowed — bit-exact host path for this chunk
+            self.stats["host_s"] += time.perf_counter() - t0
+            self._ingest_overflow_fallback(clouds, origins, ds, fr, mr)
+            return
+        slots, centers, coords = self._ingest_slots(fetched, spec)
+        self.stats["host_s"] += time.perf_counter() - t0
+        self._dispatch_ingest_chunk(out, fetched, slots, centers, spec,
+                                    K_pad, n)
+
+    def _ingest_slots(self, fetched: dict, spec):
+        """Pool slots + world centers for the fetched test-block key table."""
+        tkey, bias = fetched["tkey"], fetched["bias"]       # [K,T], [K,3]
+        K, T = tkey.shape
+        valid = tkey != device_ingest._SENT
+        coords = np.zeros((K, T, 3), np.int64)
+        for s in range(K):
+            if valid[s].any():
+                coords[s, valid[s]] = device_ingest.unpack_local_keys(
+                    tkey[s, valid[s]], bias[s])
+        keys = geo.pack_key(coords.reshape(-1, 3))
+        flat_valid = valid.reshape(-1)
+        uniq = np.unique(keys[flat_valid])
+        slots_u = self.pool.ensure(geo.unpack_key(uniq))
+        slots = np.full(K * T, self.pool.capacity, np.int32)
+        if len(uniq):
+            slots[flat_valid] = slots_u[np.searchsorted(uniq, keys[flat_valid])]
+        centers = np.zeros((K * T, 3), np.float32)
+        centers[flat_valid] = geo.block_center(
+            coords.reshape(-1, 3)[flat_valid], self.block_size)
+        return slots, centers, coords
+
+    def _ingest_overflow_fallback(self, clouds, origins, ds, fr, mr) -> None:
+        """Host-path integration for one chunk (family hook)."""
+        raise NotImplementedError
+
+    def _dispatch_ingest_chunk(self, out, fetched, slots, centers, spec,
+                               K_pad: int, n_scans: int) -> None:
+        """Feed the device-resident tables to the family engine (hook)."""
+        raise NotImplementedError

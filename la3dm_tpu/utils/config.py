@@ -50,6 +50,11 @@ class MapConfig:
     max_z: float = 0.0
     # 27-neighbor extended blocks (reference -DPREDICT, CMakeLists.txt:19)
     predict: bool = False
+    # Scan ingestion placement (geometry/device_ingest.py): "auto" runs the
+    # whole preprocessing pipeline on-device when the backend is a TPU and
+    # the config is statically boundable (max_range > 0), falling back to
+    # the bit-exact host path otherwise; "on"/"off" force it.
+    device_ingest: str = "auto"
 
     @property
     def cells_per_edge(self) -> int:
