@@ -8,18 +8,33 @@ which BENCH_r03 proved to be the throughput ceiling for the cheap methods
 (host_frac 0.65–0.82 on a 2-core box).  This module moves the whole pipeline
 onto the device as ONE jitted, fixed-shape program per scan batch:
 
-  [K, P, 3] raw clouds ──► downsample (sort + segment-mean)
+  [K, P, 3] raw clouds ──► downsample (sort + segmented scan)
                         ──► max-range filter + beam free sampling ([P, Kf] grid)
                         ──► free-cloud downsample
                         ──► block memberships (≤8 per entry, closed-box faces)
                         ──► sort by block key → per-(test block, slot) segments
-                        ──► (BGK) fixed-width row tables      → models/bgk.py
-                        ──► (GP) per-model segments + slot map → models/gp.py
+                        ──► (BGK/BGKL) fixed-width row tables  → models/bgk.py
+                        ──► (GP) per-model segments + slot map  → models/gp.py
+
+TPU-shaped primitives (profiled on a v5e: large gathers/scatters run at
+~100 M elem/s while ``lax.sort`` moves >500 M rows/s and cumsum/elementwise
+are HBM-bound):
+* every reorder is a **payload-carrying sort** — ``lax.sort`` moves the
+  entry coordinates and labels along with the keys, so the classic
+  argsort→gather pattern (a ~10 ms gather per million rows) never appears;
+* segment reductions use a **log-shift segmented scan** (Hillis–Steele with
+  a same-key guard) plus ONE extra int32 sort that compacts the run-end
+  positions into rank space — no ``segment_sum`` scatters;
+* key lookups use **equality one-hot matmuls** on the MXU instead of
+  ``searchsorted`` (a 17-iteration while-loop of serialized gathers);
+* the ragged row expansion scatters a few thousand segment *deltas* and
+  integrates with ``cumsum``/``cummax`` — monotone ids propagate by running
+  max, non-monotone values by scattered first-differences.
 
 Everything is static-shaped: ragged results live in padded arrays with
-validity masks, compaction happens for free inside the key sorts (invalid
-rows carry a +inf sentinel key).  The only host round-trip per batch is the
-tiny test-block key table needed for pool slot allocation (a few KB).
+validity masks, compaction happens inside the key sorts (invalid rows carry
+a +inf sentinel key).  The only host round-trip per batch is the tiny
+test-block key table needed for pool slot allocation (a few KB).
 
 Semantics match geometry/preprocess.py with two deliberate deviations,
 both far inside the ≤1e-2 MAE acceptance tolerance (BASELINE.md):
@@ -34,6 +49,13 @@ path and the fallback for configs this path cannot bound statically
 Block keys are packed into *scan-local* 30-bit int32 keys (10 bits/axis
 relative to the scan's min corner) so sorts run on native int32 lanes — the
 global int64 BlockHashKey (bgkblock.cpp:73-77) never reaches the device.
+
+The BGKL segment family (``src/bgkloctomap/bgkloctomap.cpp:285-344``) rides
+the same skeleton: per-beam *backward* samples proxy each free ray, the
+per-(block, ray) dedup (:145-172) runs as two small per-ray row sorts (a
+straight line meets each closed box in one contiguous run, so first-in-run
+flags after a row sort are exactly the reference's set semantics), and the
+global sort carries the 6-float segment payload.
 """
 
 from __future__ import annotations
@@ -44,6 +66,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 #: sentinel key: sorts after every valid 30-bit packed key
 _SENT = np.int32(0x7FFFFFFF)
@@ -67,14 +90,31 @@ class IngestSpec:
     mr: float         # max_range (> 0 required for the static beam bound)
     block_size: float
     free_label: float  # 0 for BGK, −1 for GP (gpoctomap.cpp:399)
+    segments: bool = False  # BGKL: (segment, label) entries, ray-block dedup
+    Rmax: int = 0     # segments: unique-block slots per ray (padded)
+    Wa: int = 8       # entry-row alignment: blocks padded to multiples of Wa
 
     @property
     def E(self) -> int:  # entries per scan: hits (≤P) then frees (≤Pf)
         return self.P + self.Pf
 
     @property
-    def M(self) -> int:  # block memberships per scan (≤8 per entry)
+    def Mraw(self) -> int:  # raw block memberships per scan (≤8 per entry)
+        if self.segments:
+            return 8 * self.P + self.Rmax * self.P
         return 8 * self.E
+
+    @property
+    def M(self) -> int:  # per-scan stride of the ALIGNED entry tables
+        return self.Mraw + self.Bu * (self.Wa - 1)
+
+    @property
+    def R2(self) -> int:  # aligned Wa-rows per scan
+        return self.M // self.Wa
+
+    @property
+    def D(self) -> int:  # entry row width (point or segment)
+        return 6 if self.segments else 3
 
 
 def spec_for(cfg, ds_resolution: float, free_resolution: float,
@@ -88,17 +128,61 @@ def spec_for(cfg, ds_resolution: float, free_resolution: float,
     if 2.0 * max_range / cfg.block_size + 8 > _WIN:
         return None
     Kf = int(np.floor(max_range / free_resolution)) + 1
+    segments = cfg.method == "bgkl"
     free_label = -1.0 if cfg.method == "gp" else 0.0
+    # segments: ≤ Kf+1 proxy samples per ray, each in 1 block away from faces
+    # (closed-box duplication adds a few boundary cases) — pad 2× + margin,
+    # with a per-ray unique count in ``counts`` so overflows fall back to the
+    # bit-exact host path
+    Rmax = 0
+    if segments:
+        Rmax = int(min((Kf + 1) * 8, -(-(2 * (Kf + 1) + 8) // 8) * 8, 256))
     return IngestSpec(
         P=P, Pf=8192, Kf=Kf, Bu=1024, T=1024,
         ds=float(ds_resolution), fr=float(free_resolution),
         mr=float(max_range), block_size=float(cfg.block_size),
-        free_label=free_label)
+        free_label=free_label, segments=segments, Rmax=Rmax)
 
 
 # --------------------------------------------------------------------------
-# building blocks (single scan; vmapped over the batch)
+# TPU-shaped building blocks (single scan; vmapped over the batch)
 # --------------------------------------------------------------------------
+
+
+def _seg_scan_sum(key_s: jax.Array, vals: jax.Array) -> jax.Array:
+    """Inclusive segmented sum over a key-sorted array ([S], [S,C]).
+
+    Log-shift Hillis–Steele with a same-key guard: ~log2(S) elementwise
+    passes, no scatters.  The value at a run's last position is the run
+    total.
+    """
+    S = key_s.shape[0]
+    i = jnp.arange(S, dtype=jnp.int32)
+    x = vals
+    s = 1
+    while s < S:
+        same = (key_s == jnp.roll(key_s, s)) & (i >= s)
+        x = x + jnp.where(same[:, None], jnp.roll(x, s, axis=0), 0.0)
+        s <<= 1
+    return x
+
+
+def _run_ends(key_s: jax.Array, n_out: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-space run boundaries of a sorted (sentinel-padded) key array.
+
+    Returns (epos [n_out] last position of run r, count [n_out], n_runs).
+    One int32 sort compacts the run-end positions into rank order; the first
+    position of run r is ``epos[r-1] + 1`` (runs are contiguous and valid
+    keys sort before the sentinel).  Ranks ≥ n_runs carry epos = S (masked).
+    """
+    S = key_s.shape[0]
+    i = jnp.arange(S, dtype=jnp.int32)
+    is_last = (key_s != _SENT) & ((i == S - 1) | (key_s != jnp.roll(key_s, -1)))
+    epos = jnp.sort(jnp.where(is_last, i, S))[:n_out]
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                            jnp.minimum(epos[:-1], S - 1)])
+    count = jnp.where(epos < S, epos - prev, 0)
+    return epos, count, jnp.sum(is_last.astype(jnp.int32))
 
 
 def _downsample(points: jax.Array, valid: jax.Array, leaf: float,
@@ -118,30 +202,15 @@ def _downsample(points: jax.Array, valid: jax.Array, leaf: float,
         valid,
         (loc[:, 2] << 20) | (loc[:, 1] << 10) | loc[:, 0],  # z-major order
         _SENT)
-    order = jnp.argsort(key, stable=True)
-    key_s = key[order]
-    pts_s = points[order]
-    new = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-    sid = jnp.cumsum(new.astype(jnp.int32)) - 1
-    ok = key_s != _SENT
-    sums = jax.ops.segment_sum(
-        jnp.where(ok[:, None], pts_s, 0.0), sid, num_segments=n_out)
-    cnts = jax.ops.segment_sum(ok.astype(jnp.float32), sid, num_segments=n_out)
-    cent = sums / jnp.maximum(cnts, 1.0)[:, None]
-    n_vox = jnp.max(jnp.where(ok, sid, -1)) + 1
-    return cent, cnts > 0, n_vox
-
-
-def _unique_compact(keys_sorted: jax.Array, n_out: int) -> tuple[jax.Array, jax.Array]:
-    """Sorted keys (sentinel-padded) → first ``n_out`` unique keys + count."""
-    new = jnp.concatenate(
-        [keys_sorted[:1] != _SENT,
-         (keys_sorted[1:] != keys_sorted[:-1]) & (keys_sorted[1:] != _SENT)])
-    idx = jnp.cumsum(new.astype(jnp.int32)) - 1
-    out = jnp.full((n_out + 1,), _SENT, jnp.int32)
-    out = out.at[jnp.where(new, jnp.minimum(idx, n_out), n_out)].set(
-        keys_sorted, mode="drop")
-    return out[:n_out], jnp.max(jnp.where(new, idx, -1)) + 1
+    key_s, xs, ys, zs = lax.sort(
+        (key, points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=1, is_stable=True)
+    pts_s = jnp.stack([xs, ys, zs], axis=1)
+    sums = _seg_scan_sum(key_s, jnp.where((key_s != _SENT)[:, None], pts_s, 0.0))
+    epos, cnt, n_vox = _run_ends(key_s, n_out)
+    tot = sums[jnp.minimum(epos, key_s.shape[0] - 1)]
+    cent = tot / jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
+    return cent, cnt > 0, n_vox
 
 
 def _pack_offsets(offsets: np.ndarray) -> np.ndarray:
@@ -151,9 +220,103 @@ def _pack_offsets(offsets: np.ndarray) -> np.ndarray:
     return (o[:, 2] * (1 << 20) + o[:, 1] * (1 << 10) + o[:, 0]).astype(np.int32)
 
 
+def _closed_box_memberships(ent: jax.Array, evalid: jax.Array,
+                            block_size: float):
+    """Closed-box block membership candidates (blocks.py::
+    point_block_memberships): per axis at most 2 of {base−1, base, base+1}
+    contain the point, so 8 candidates per entry suffice.
+
+    Returns (mcoord [E,8,3] int32, mok [E,8] bool).
+    """
+    bs = jnp.float32(block_size)
+    half = jnp.float32(block_size / 2.0)
+    base = jnp.floor(ent / bs + 0.5).astype(jnp.int32)       # [E,3]
+
+    def in_box(coord):
+        ctr = coord.astype(jnp.float32) * bs
+        return (ctr - half <= ent) & (ent <= ctr + half)     # [E,3] per axis
+
+    base_ok = in_box(base)
+    hi_ok = in_box(base + 1)
+    lo_ok = in_box(base - 1)
+    sec = jnp.where(hi_ok, 1, -1).astype(jnp.int32)          # second candidate
+    sec_ok = hi_ok | lo_ok
+    bits = jnp.stack(jnp.meshgrid(  # [8,3] axis-bit selector
+        jnp.arange(2), jnp.arange(2), jnp.arange(2), indexing="ij"),
+        axis=-1).reshape(8, 3).astype(jnp.int32)
+    mcoord = base[:, None, :] + bits[None, :, :] * sec[:, None, :]  # [E,8,3]
+    mok = jnp.where(bits[None].astype(bool), sec_ok[:, None, :],
+                    base_ok[:, None, :]).all(-1) & evalid[:, None]  # [E,8]
+    return mcoord, mok
+
+
+def _local_keys(mcoord: jax.Array, mok: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Scan-local packed block keys (margin 1 cell so the neighbor-offset
+    arithmetic stays inside each 10-bit field).  Returns (keys, bias)."""
+    bbig = jnp.int32(1 << 29)
+    red_axes = tuple(range(mcoord.ndim - 1))
+    bmin = jnp.min(jnp.where(mok[..., None], mcoord, bbig), axis=red_axes) - 1
+    bloc = jnp.clip(mcoord - bmin, 1, _WIN - 2)
+    key = jnp.where(
+        mok, (bloc[..., 2] << 20) | (bloc[..., 1] << 10) | bloc[..., 0], _SENT)
+    return key, bmin
+
+
+def _bucket_tables(mkey_s: jax.Array, spec: IngestSpec, off_keys: jax.Array):
+    """Sorted membership keys → unique-block + test-block tables.
+
+    All lookups are equality one-hot matmuls (exact in f32: every operand is
+    a position/count < 2^18 ≪ 2^24).
+    """
+    M = mkey_s.shape[0]
+    Bu, T, G = spec.Bu, spec.T, off_keys.shape[0]
+
+    # unique entry blocks in rank space
+    epos, ucount, n_ublk = _run_ends(mkey_s, Bu)
+    uvalid = epos < M
+    ukey = jnp.where(uvalid, mkey_s[jnp.minimum(epos, M - 1)], _SENT)
+    ustart = jnp.where(uvalid, epos - ucount + 1, 0)
+    n_mem = jnp.sum((mkey_s != _SENT).astype(jnp.int32))
+
+    # test blocks = every block whose G-neighborhood holds ≥1 entry block
+    # (bucketing.test_blocks_for; symmetric offset sets ⇒ u ± off equal)
+    cand = jnp.where(uvalid[:, None], ukey[:, None] + off_keys[None, :],
+                     _SENT).reshape(-1)
+    cand_s = jnp.sort(cand)
+    tepos, _, n_test = _run_ends(cand_s, T)
+    tvalid = tepos < cand_s.shape[0]
+    tkey = jnp.where(tvalid, cand_s[jnp.minimum(tepos, cand_s.shape[0] - 1)],
+                     _SENT)
+
+    # per-(test block, slot) segments: eq-matmul lookup into the rank tables
+    nbk = jnp.where(tvalid[:, None], tkey[:, None] + off_keys[None, :],
+                    jnp.int32(-2))                            # [T,G]
+    eq = (nbk.reshape(-1)[:, None] == ukey[None, :]) & uvalid[None, :]
+    eqf = eq.astype(jnp.float32)                              # [T·G, Bu]
+    tstart = (eqf @ ustart.astype(jnp.float32)).astype(jnp.int32)
+    tcount = (eqf @ ucount.astype(jnp.float32)).astype(jnp.int32)
+    tstart = tstart.reshape(T, G)
+    tcount = tcount.reshape(T, G)
+
+    # GP extra: the test-block row each model serves at slot g
+    # (gp.py::_model_tables nb_t; u − off is always a test block)
+    ub = jnp.where(uvalid[:, None], ukey[:, None] - off_keys[None, :],
+                   jnp.int32(-2))                             # [Bu,G]
+    eq2 = (ub.reshape(-1)[:, None] == tkey[None, :]) & tvalid[None, :]
+    eq2f = eq2.astype(jnp.float32)                            # [Bu·G, T]
+    pos = (eq2f @ jnp.arange(T, dtype=jnp.float32)).astype(jnp.int32)
+    hit2 = jnp.any(eq2, axis=1)
+    nb_row = jnp.where(hit2, pos, T).reshape(Bu, G)
+
+    return {"ukey": ukey, "ustart": ustart, "ucount": ucount,
+            "tkey": tkey, "tstart": tstart, "tcount": tcount,
+            "nb_row": nb_row, "n_mem": n_mem, "n_ublk": n_ublk,
+            "n_test": n_test}
+
+
 def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
                  spec: IngestSpec, off_keys: jax.Array) -> dict:
-    """One scan's full pipeline (fixed shapes; see module docstring)."""
+    """One scan's full point-family pipeline (fixed shapes; module docstring)."""
     P, Pf, Kf = spec.P, spec.Pf, spec.Kf
     valid_in = jnp.arange(P, dtype=jnp.int32) < npts
 
@@ -194,89 +357,121 @@ def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     ])
     evalid = jnp.concatenate([inr, free_ok])
 
-    # 6. block memberships: closed-box face duplication (blocks.py::
-    #    point_block_memberships) — per axis at most 2 of {base−1, base,
-    #    base+1} contain the point, so 8 candidates per entry suffice
-    bs = jnp.float32(spec.block_size)
-    half = jnp.float32(spec.block_size / 2.0)
-    base = jnp.floor(ent / bs + 0.5).astype(jnp.int32)       # [E,3]
-
-    def in_box(coord):
-        ctr = coord.astype(jnp.float32) * bs
-        return (ctr - half <= ent) & (ent <= ctr + half)     # [E,3] per axis
-
-    base_ok = in_box(base)
-    hi_ok = in_box(base + 1)
-    lo_ok = in_box(base - 1)
-    sec = jnp.where(hi_ok, 1, -1).astype(jnp.int32)          # second candidate
-    sec_ok = hi_ok | lo_ok
-    bits = jnp.stack(jnp.meshgrid(  # [8,3] axis-bit selector
-        jnp.arange(2), jnp.arange(2), jnp.arange(2), indexing="ij"),
-        axis=-1).reshape(8, 3).astype(jnp.int32)
-    mcoord = base[:, None, :] + bits[None, :, :] * sec[:, None, :]  # [E,8,3]
-    mok = jnp.where(bits[None].astype(bool), sec_ok[:, None, :],
-                    base_ok[:, None, :]).all(-1) & evalid[:, None]  # [E,8]
-
-    # 7. scan-local block keys (margin 1 cell: neighbor offsets stay in-field)
-    bbig = jnp.int32(1 << 29)
-    bmin = jnp.min(jnp.where(mok[..., None], mcoord, bbig), axis=(0, 1)) - 1
-    bloc = jnp.clip(mcoord - bmin[None, None, :], 1, _WIN - 2)
-    mkey = jnp.where(
-        mok, (bloc[..., 2] << 20) | (bloc[..., 1] << 10) | bloc[..., 0], _SENT)
+    # 6-7. closed-box memberships → scan-local keys
+    mcoord, mok = _closed_box_memberships(ent, evalid, spec.block_size)
+    mkey, bmin = _local_keys(mcoord, mok)
     mkey = mkey.reshape(-1)                                  # [M], entry-major
-    ordm = jnp.argsort(mkey, stable=True)
-    mkey_s = mkey[ordm]
-    eid = ordm >> 3                                          # membership → entry
-    ent_s = ent[eid]
-    lab_s = lab[eid]
-    n_mem = jnp.sum(mok)
 
-    # 8. unique entry blocks + segments into the sorted membership array
-    newb = jnp.concatenate(
-        [mkey_s[:1] != _SENT,
-         (mkey_s[1:] != mkey_s[:-1]) & (mkey_s[1:] != _SENT)])
-    sidb = jnp.cumsum(newb.astype(jnp.int32)) - 1
-    Bu = spec.Bu
-    arange_m = jnp.arange(spec.M, dtype=jnp.int32)
-    ustart = jax.ops.segment_min(
-        jnp.where(mkey_s != _SENT, arange_m, spec.M), sidb, num_segments=Bu)
-    ucount = jax.ops.segment_sum(
-        (mkey_s != _SENT).astype(jnp.int32), sidb, num_segments=Bu)
-    ukey = jax.ops.segment_min(
-        jnp.where(mkey_s != _SENT, mkey_s, _SENT), sidb, num_segments=Bu)
-    ukey = jnp.where(ucount > 0, ukey, _SENT)
-    ustart = jnp.where(ucount > 0, ustart, 0)
-    n_ublk = jnp.max(jnp.where(mkey_s != _SENT, sidb, -1)) + 1
+    # 8. ONE payload-carrying stable sort replaces argsort + 1M-row gathers
+    rep = lambda a: jnp.repeat(a, 8, axis=0)
+    mkey_s, exs, eys, ezs, labs = lax.sort(
+        (mkey, rep(ent[:, 0]), rep(ent[:, 1]), rep(ent[:, 2]), rep(lab)),
+        num_keys=1, is_stable=True)
+    ent_s = jnp.stack([exs, eys, ezs], axis=1)
 
-    # 9. test blocks = every block whose G-neighborhood holds ≥1 entry block
-    #    (bucketing.test_blocks_for; symmetric offset sets ⇒ u ± off equal)
-    cand = jnp.where(ukey[:, None] != _SENT,
-                     ukey[:, None] + off_keys[None, :], _SENT).reshape(-1)
-    tkey, n_test = _unique_compact(jnp.sort(cand), spec.T)
-
-    # 10. per-(test block, slot) segments (bucketing.bucket_tables)
-    G = off_keys.shape[0]
-    nbk = tkey[:, None] + off_keys[None, :]                  # [T,G]
-    pos = jnp.clip(jnp.searchsorted(ukey, nbk.reshape(-1)), 0, Bu - 1)
-    tvalid = jnp.broadcast_to((tkey != _SENT)[:, None], (spec.T, G))
-    hit = (ukey[pos] == nbk.reshape(-1)) & tvalid.reshape(-1)
-    tstart = jnp.where(hit, ustart[pos], 0).reshape(spec.T, G)
-    tcount = jnp.where(hit, ucount[pos], 0).reshape(spec.T, G)
-
-    # 11. GP extra: the test-block row each model serves at slot g
-    #    (gp.py::_model_tables nb_t; u − off is always a test block)
-    mpos = jnp.clip(jnp.searchsorted(
-        tkey, ukey[:, None] - off_keys[None, :]), 0, spec.T - 1)
-    nb_row = jnp.where((ukey != _SENT)[:, None], mpos, spec.T)
+    # 9-11. unique blocks, test blocks, per-(test, slot) segment tables
+    tabs = _bucket_tables(mkey_s, spec, off_keys)
 
     return {
-        "ent": ent_s, "lab": lab_s,                # [M,3], [M] block-sorted
-        "ukey": ukey, "ustart": ustart, "ucount": ucount,  # [Bu]
-        "tkey": tkey, "tstart": tstart, "tcount": tcount,  # [T], [T,G]
-        "nb_row": nb_row,                          # [Bu,G]
+        "ent": ent_s, "lab": labs,                 # [M,3], [M] block-sorted
+        "ukey": tabs["ukey"], "ustart": tabs["ustart"],
+        "ucount": tabs["ucount"],                  # [Bu]
+        "tkey": tabs["tkey"], "tstart": tabs["tstart"],
+        "tcount": tabs["tcount"],                  # [T], [T,G]
+        "nb_row": tabs["nb_row"],                  # [Bu,G]
         "bias": bmin,                              # [3] local→global block
         "counts": jnp.stack([
-            n_hit_vox, n_free_vox, n_mem, n_ublk, n_test]),
+            n_hit_vox, n_free_vox, tabs["n_mem"], tabs["n_ublk"],
+            tabs["n_test"], jnp.int32(0)]),
+    }
+
+
+def _ingest_scan_bgkl(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
+                      spec: IngestSpec, off_keys: jax.Array) -> dict:
+    """One scan's BGKL segment pipeline (bgkloctomap.cpp:285-344, :145-172).
+
+    Hits are degenerate segments in their own blocks; each free ray enters a
+    block iff ≥1 of its proxy samples (origin + backward beam samples) lies
+    in the block.  The per-(block, ray) dedup runs per ray: a straight line
+    meets each closed box in one contiguous parameter interval, so sorting a
+    ray's candidate block keys and keeping first-in-run flags reproduces the
+    reference's R-tree set semantics exactly.
+    """
+    P, Kf, Rmax = spec.P, spec.Kf, spec.Rmax
+
+    valid_in = jnp.arange(P, dtype=jnp.int32) < npts
+    hits_ds, hit_ok, n_hit_vox = _downsample(cloud, valid_in, spec.ds, P)
+
+    # range filter + f32 recompute of the endpoint (bgkloctomap.cpp:316)
+    diff = hits_ds - origin[None, :]
+    l = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    inr = hit_ok & (l <= jnp.float32(spec.mr)) & (l > 0)
+    ndir = diff / jnp.maximum(l, 1e-30)[:, None]
+    occ = origin[None, :] + ndir * l[:, None]                # [P,3]
+
+    # free ray per hit: (origin, origin + n·(l − fr)) (:335-338)
+    end = origin[None, :] + ndir * (l - jnp.float32(spec.fr))[:, None]
+
+    # proxy samples per ray: the origin (:328) + backward beam samples
+    # d = l − fr, l − 2fr, … > 0 (:325, :360-383)
+    karr = jnp.arange(1, Kf + 1, dtype=jnp.float32) * jnp.float32(spec.fr)
+    d = l[:, None] - karr[None, :]                           # [P,Kf]
+    smask = (d > 0.0) & inr[:, None]
+    spts = origin[None, None, :] + ndir[:, None, :] * d[:, :, None]
+    spts = jnp.concatenate(
+        [jnp.broadcast_to(origin[None, None, :], (P, 1, 3)), spts], axis=1)
+    smask = jnp.concatenate([inr[:, None], smask], axis=1)   # [P,Kf+1]
+
+    # shared scan-local key window over hit memberships ∪ sample memberships
+    hco, hok = _closed_box_memberships(occ, inr, spec.block_size)  # [P,8,..]
+    sco, sok = _closed_box_memberships(
+        spts.reshape(-1, 3), smask.reshape(-1), spec.block_size)
+    allco = jnp.concatenate([hco.reshape(-1, 3), sco.reshape(-1, 3)], axis=0)
+    allok = jnp.concatenate([hok.reshape(-1), sok.reshape(-1)], axis=0)
+    key_all, bmin = _local_keys(allco, allok)
+    hkey = key_all[: P * 8].reshape(P, 8)
+    skey = key_all[P * 8:].reshape(P, (Kf + 1) * 8)
+
+    # per-(block, ray) dedup: two per-ray row sorts (cheap: rows of
+    # (Kf+1)·8 candidates), keeping the first Rmax distinct block keys
+    skey_r = jnp.sort(skey, axis=1)                          # [P, (Kf+1)·8]
+    first = jnp.concatenate([
+        (skey_r[:, :1] != _SENT),
+        (skey_r[:, 1:] != skey_r[:, :-1]) & (skey_r[:, 1:] != _SENT)], axis=1)
+    n_ray_u = jnp.sum(first, axis=1)                         # uniques per ray
+    ukeys_r = jnp.sort(jnp.where(first, skey_r, _SENT), axis=1)[:, :Rmax]
+
+    # entries: hits (degenerate segments, label 1) FIRST, then rays (label 0)
+    # — the stable global sort then matches the host pipeline's per-block
+    # hits-before-rays order (models/bgkl.py::segment_block_entries)
+    hseg = jnp.concatenate([occ, occ], axis=1)               # [P,6]
+    rseg = jnp.concatenate(
+        [jnp.broadcast_to(origin[None, :], (P, 3)), end], axis=1)
+    rep8 = lambda a: jnp.repeat(a, 8, axis=0)
+    repR = lambda a: jnp.repeat(a, Rmax, axis=0)
+    mkey = jnp.concatenate([hkey.reshape(-1), ukeys_r.reshape(-1)])
+    cols = [jnp.concatenate([rep8(hseg[:, c]), repR(rseg[:, c])])
+            for c in range(6)]
+    labc = jnp.concatenate([jnp.ones((P * 8,), jnp.float32),
+                            jnp.zeros((P * Rmax,), jnp.float32)])
+    sorted_all = lax.sort((mkey, *cols, labc), num_keys=1, is_stable=True)
+    mkey_s = sorted_all[0]
+    ent_s = jnp.stack(sorted_all[1:7], axis=1)               # [M,6]
+    labs = sorted_all[7]
+
+    tabs = _bucket_tables(mkey_s, spec, off_keys)
+
+    return {
+        "ent": ent_s, "lab": labs,                 # [M,6], [M] block-sorted
+        "ukey": tabs["ukey"], "ustart": tabs["ustart"],
+        "ucount": tabs["ucount"],
+        "tkey": tabs["tkey"], "tstart": tabs["tstart"],
+        "tcount": tabs["tcount"],
+        "nb_row": tabs["nb_row"],
+        "bias": bmin,
+        "counts": jnp.stack([
+            n_hit_vox, jnp.int32(0), tabs["n_mem"], tabs["n_ublk"],
+            tabs["n_test"], jnp.max(n_ray_u, initial=0)]),
     }
 
 
@@ -284,42 +479,64 @@ def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
 def ingest_batch(clouds: jax.Array, npts: jax.Array, origins: jax.Array,
                  off_keys: jax.Array, spec: IngestSpec) -> dict:
     """Vmapped ingestion: [K,P,3] clouds → per-scan table dict (leading K)."""
+    fn = _ingest_scan_bgkl if spec.segments else _ingest_scan
     return jax.vmap(
-        lambda c, n, o: _ingest_scan(c, n, o, spec, off_keys)
+        lambda c, n, o: fn(c, n, o, spec, off_keys)
     )(clouds, npts, origins)
 
 
 # --------------------------------------------------------------------------
-# BGK row tables (models/bgk.py::_row_tables, built on device)
+# BGK/BGKL row tables (models/bgk.py::_row_tables, built on device)
 # --------------------------------------------------------------------------
 
 
-def _ragged_expand(counts: jax.Array, n_out: int) -> tuple[jax.Array, jax.Array]:
-    """Segment id + within-segment offset for each output position.
+def _last_valid(vals: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Inclusive 'last valid value' scan: out[i] = vals[j] for the largest
+    j ≤ i with mask[j] (associative, so it runs as a log-depth scan)."""
 
-    The classic scatter+cumsum construction (binary-searchsorted and
-    scatter-min/max lower poorly on TPU; scatter-ADD + cumsum are fast
-    vector ops): mark each nonempty segment's start position, prefix-sum
-    the marks to get each position's nonempty-rank, then map ranks back to
-    segment ids through a uniquely-hit scatter-add table.
+    def comb(a, b):
+        return jnp.where(b[1], b[0], a[0]), a[1] | b[1]
 
-    Returns (seg [n_out], within [n_out]); positions past the total are
-    clamped into the last segment (callers mask by the live count).
+    v, m = lax.associative_scan(comb, (vals, mask))
+    return v, m
+
+
+def _expand_tables(counts: jax.Array, values: jax.Array, n_out: int):
+    """Ragged expansion over [S] segments → per-position tables on [n_out].
+
+    Returns (seg, within, val) where for output position f inside segment s:
+    seg[f] = s, within[f] = f − start(s), val[f] = values[s].  Positions past
+    the total are clamped into the last segment (callers mask by the live
+    count).  Built from TPU-fast pieces only: one small scatter per table
+    (S elements), ``cummax`` for the monotone ids/starts, and a scattered
+    first-difference + ``cumsum`` for the non-monotone values.
     """
     S = counts.shape[0]
     ends = jnp.cumsum(counts)
-    pos = ends - counts                                       # segment starts
+    starts = ends - counts
     nz = counts > 0
-    rank = jnp.cumsum(nz.astype(jnp.int32)) - 1               # [S]
-    segid_of_rank = jnp.zeros(S + 1, jnp.int32).at[
-        jnp.where(nz, rank, S)].add(
-        jnp.arange(S, dtype=jnp.int32) * nz, mode="drop")[:S]
-    mark = jnp.zeros(n_out, jnp.int32).at[pos].add(
-        nz.astype(jnp.int32), mode="drop")
-    r = jnp.clip(jnp.cumsum(mark) - 1, 0, S - 1)
-    seg = segid_of_rank[r]
-    within = jnp.arange(n_out, dtype=jnp.int32) - pos[seg]
-    return seg, within
+    spos = jnp.where(nz, starts, n_out)                      # scatter targets
+    sidx = jnp.arange(S, dtype=jnp.int32)
+
+    # segment id: scatter-max ids at start positions, then running max
+    m1 = jnp.full((n_out,), -1, jnp.int32).at[spos].max(
+        jnp.where(nz, sidx, -1), mode="drop")
+    seg = jnp.clip(lax.cummax(m1), 0, S - 1)
+
+    # start position: same trick (positions are monotone too)
+    m2 = jnp.zeros((n_out,), jnp.int32).at[spos].max(
+        jnp.where(nz, starts, 0), mode="drop")
+    within = jnp.arange(n_out, dtype=jnp.int32) - lax.cummax(m2)
+
+    # per-position segment value: scatter first-differences, integrate
+    prev_v, prev_m = _last_valid(values, nz)
+    prev_v = jnp.concatenate([jnp.zeros((1,), values.dtype), prev_v[:-1]])
+    prev_m = jnp.concatenate([jnp.zeros((1,), bool), prev_m[:-1]])
+    delta = values - jnp.where(prev_m, prev_v, 0)
+    d = jnp.zeros((n_out,), values.dtype).at[spos].add(
+        jnp.where(nz, delta, 0), mode="drop")
+    val = jnp.cumsum(d)
+    return seg, within, val
 
 
 def _rows_scan(tstart: jax.Array, tcount: jax.Array, W: int,
@@ -336,18 +553,19 @@ def _rows_scan(tstart: jax.Array, tcount: jax.Array, W: int,
     segcnt = tcount.reshape(-1)                              # [T*G] merged order
     F_act = jnp.sum(segcnt)
 
-    seg, within = _ragged_expand(segcnt, Fp)
+    seg, within, tst = _expand_tables(segcnt, tstart.reshape(-1), Fp)
     f = jnp.arange(Fp, dtype=jnp.int32)
-    ids = jnp.where(f < F_act, tstart.reshape(-1)[seg] + within, 0)
+    ids = jnp.where(f < F_act, tst + within, 0)
     gslot = (seg % G).astype(jnp.int8)
 
     nrows = (totals + (W - 1)) // W
     R_act = jnp.sum(nrows)
-    b, j = _ragged_expand(nrows, Rp)
+    b, j, mst = _expand_tables(nrows, mstart, Rp)
+    _, _, tot = _expand_tables(nrows, totals, Rp)
     live = jnp.arange(Rp, dtype=jnp.int32) < R_act
     row_block = jnp.where(live, b, -1)
-    row_start = jnp.where(live, mstart[b] + j * W, 0)
-    row_count = jnp.where(live, jnp.clip(totals[b] - j * W, 0, W), 0)
+    row_start = jnp.where(live, mst + j * W, 0)
+    row_count = jnp.where(live, jnp.clip(tot - j * W, 0, W), 0)
     return {"ids": ids, "gslot": gslot, "row_block": row_block,
             "row_start": row_start, "row_count": row_count,
             "F": F_act, "R": R_act}

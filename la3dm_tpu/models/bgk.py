@@ -187,8 +187,9 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
     # ------------------------------------------------ device-side ingestion
 
     def _ingest_enabled(self) -> bool:
-        # segment families (BGKL/BGKLV) keep the host pipeline for now
-        return not self.SEGMENTS and super()._ingest_enabled()
+        # the LV family keeps the host pipeline (its ray-shortening
+        # recurrence is sequential in the hits); BGK and BGKL ingest on TPU
+        return self.cfg.method in ("bgk", "bgkl", "gp") and super()._ingest_enabled()
 
     def _ingest_overflow_fallback(self, clouds, origins, ds, fr, mr) -> None:
         tables = []
@@ -245,7 +246,7 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
          self.pool.eff_level) = _bgk_seq_step(
             self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
             self.pool.eff_level, an_dev, ni_dev,
-            out["ent"].reshape(K_pad * spec.M, 3),
+            out["ent"].reshape(K_pad * spec.M, spec.D),
             out["lab"].reshape(K_pad * spec.M),
             rows["ids"], rows["gslot"],
             rows["row_block"], rows["row_start"], rows["row_count"],

@@ -94,10 +94,12 @@ class DeviceIngestMixin:
         fetched = {k: np.asarray(out[k]) for k in fetch_names}
 
         t0 = time.perf_counter()
-        cts = fetched["counts"]  # [K,5]: hit_vox, free_vox, mem, ublk, test
+        # [K,6]: hit_vox, free_vox, mem, ublk, test, max uniques per ray
+        cts = fetched["counts"]
         if (cts[:, 1].max(initial=0) > spec.Pf
                 or cts[:, 3].max(initial=0) > spec.Bu
-                or cts[:, 4].max(initial=0) > spec.T):
+                or cts[:, 4].max(initial=0) > spec.T
+                or (spec.segments and cts[:, 5].max(initial=0) > spec.Rmax)):
             # static pads overflowed — bit-exact host path for this chunk
             self.stats["host_s"] += time.perf_counter() - t0
             self._ingest_overflow_fallback(clouds, origins, ds, fr, mr)

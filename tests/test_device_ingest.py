@@ -1,0 +1,97 @@
+"""Device-side scan ingestion vs the bit-exact host path.
+
+The on-device preprocessing pipeline (geometry/device_ingest.py) replaces
+the host get_training_data + bucketing path (reference
+``src/bgkoctomap/bgkoctomap.cpp:383-458``, ``src/bgkloctomap/bgkloctomap.cpp:285-344``)
+when ``device_ingest`` is enabled.  Its only declared deviations are f32
+centroid/range accumulation (host: f64) — so per-voxel posteriors must
+agree to tight tolerances, and the touched-voxel sets must match exactly.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from la3dm_tpu.models.bgk import BGKOctoMap
+from la3dm_tpu.models.bgkl import BGKLOctoMap
+from la3dm_tpu.models.gp import GPOctoMap
+from tests.test_bgk_vs_oracle import CFG, synthetic_scan
+from tests.test_families_vs_oracle import BGKL_CFG, GP_CFG
+
+MAX_RANGE = 6.0
+
+FAMILIES = [
+    (BGKOctoMap, CFG, ("A", "B")),
+    (BGKLOctoMap, BGKL_CFG, ("A", "B")),
+    (GPOctoMap, GP_CFG, ("m_ivar", "ivar")),
+]
+
+
+def _voxels(m):
+    slots = m.pool.active_slots()
+    coords = m.pool.coords[slots]
+    fields = {k: np.asarray(v)[slots] for k, v in m.pool.fields.items()}
+    touched = np.asarray(m.pool.touched)[slots]
+    out = {}
+    for i, c in enumerate(coords):
+        out[tuple(c)] = ({k: v[i] for k, v in fields.items()}, touched[i])
+    return out
+
+
+@pytest.mark.parametrize("cls,cfg,fields", FAMILIES)
+def test_device_ingest_matches_host(rng, cls, cfg, fields):
+    host_map = cls(dataclasses.replace(cfg, device_ingest="off"))
+    dev_map = cls(dataclasses.replace(cfg, device_ingest="on"))
+
+    scans = [synthetic_scan(rng, n=90, origin=(0.1, -0.2 + 0.3 * i, 0.3))
+             for i in range(3)]
+    for cloud, origin in scans:
+        host_map.insert_pointcloud(cloud, origin, max_range=MAX_RANGE)
+    dev_map.insert_pointclouds([c for c, _ in scans], [o for _, o in scans],
+                               max_range=MAX_RANGE)
+
+    vh = _voxels(host_map)
+    vd = _voxels(dev_map)
+    # identical block sets: the f32 deviations may only flip membership of
+    # points sitting exactly on voxel/range boundaries, which the synthetic
+    # scan avoids
+    assert set(vh) == set(vd)
+    n_touched = 0
+    for c in vh:
+        fh, th = vh[c]
+        fd, td = vd[c]
+        n_touched += int(np.any(th))
+        if "m_ivar" in fh:
+            p_h = 1.0 / (1.0 + np.exp(-cfg.l * fh["m_ivar"] / (1.0 / cfg.min_var)))
+            p_d = 1.0 / (1.0 + np.exp(-cfg.l * fd["m_ivar"] / (1.0 / cfg.min_var)))
+            np.testing.assert_allclose(p_h, p_d, atol=1e-3, err_msg=f"{c} prob")
+        else:
+            for k in fields:
+                np.testing.assert_allclose(fh[k], fd[k], atol=1e-4, rtol=1e-4,
+                                           err_msg=f"{c} {k}")
+    assert n_touched > 0  # the comparison actually saw updated blocks
+
+
+@pytest.mark.parametrize("cls,cfg", [(BGKOctoMap, CFG), (BGKLOctoMap, BGKL_CFG)])
+def test_device_ingest_single_scan_entry_point(rng, cls, cfg):
+    """insert_pointcloud (server regime, K=1) goes through the same path."""
+    host_map = cls(dataclasses.replace(cfg, device_ingest="off"))
+    dev_map = cls(dataclasses.replace(cfg, device_ingest="on"))
+    cloud, origin = synthetic_scan(rng, n=60)
+    host_map.insert_pointcloud(cloud, origin, max_range=MAX_RANGE)
+    dev_map.insert_pointcloud(cloud, origin, max_range=MAX_RANGE)
+    vh, vd = _voxels(host_map), _voxels(dev_map)
+    assert set(vh) == set(vd)
+    for c in vh:
+        for k in vh[c][0]:
+            np.testing.assert_allclose(vh[c][0][k], vd[c][0][k],
+                                       atol=1e-4, rtol=1e-4, err_msg=f"{c} {k}")
+
+
+def test_device_ingest_unbounded_config_falls_back(rng):
+    """max_range ≤ 0 cannot be statically bounded → host path, not a crash."""
+    m = BGKOctoMap(dataclasses.replace(CFG, device_ingest="on"))
+    cloud, origin = synthetic_scan(rng, n=40)
+    m.insert_pointcloud(cloud, origin)  # cfg.max_range defaults to -1
+    assert len(m.pool.active_slots()) > 0
