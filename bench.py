@@ -61,12 +61,12 @@ FLOP_PER_EVAL = {"bgk": 50, "bgkl": 95, "bgklv": 130, "gp": 60}
 PEAK_F32 = {"TPU v5 lite": 98.5e12}
 PEAK_F32_DEFAULT = 98.5e12
 
-DENSE_DIR = "/tmp/la3dm_dense240"
-DENSE_N = 240
+DENSE_DIR = "/tmp/la3dm_dense960"
+DENSE_N = 960  # sized so BGK (the cheapest method) runs ≥2 s device-visible
 
 
 def make_dense_dataset():
-    """240 jitter-replicated long-term scans (deterministic), as PCD files
+    """Jitter-replicated long-term scans (deterministic), as PCD files
     both sides read: scan i = long_term scan ((i-1) % 60) + 1 with N(0, 2cm)
     point jitter, seed = i."""
     sys.path.insert(0, REPO)
@@ -83,7 +83,7 @@ def make_dense_dataset():
         cloud, origin = load_pcd(f"{src}/sim_structured_long_term_{j}.pcd")
         rng = np.random.default_rng(i)
         pts = cloud + rng.normal(0.0, 0.02, cloud.shape).astype(np.float32)
-        save_pcd(os.path.join(DENSE_DIR, f"dense240_{i}.pcd"), pts, origin)
+        save_pcd(os.path.join(DENSE_DIR, f"dense960_{i}.pcd"), pts, origin)
     open(marker, "w").close()
 
 
@@ -140,8 +140,11 @@ CONFIGS = [
     {"key": "bgklv_long60", "method": "bgklv",
      "dataset": "sim_structured_long_term", "scan_num": 60, "baseline": "bgklv"},
     # dense synthetic: the cheapest method on a ≥2 s workload
-    {"key": "bgk_dense240", "method": "bgk", "dataset": "@dense240",
+    {"key": "bgk_dense960", "method": "bgk", "dataset": "@dense960",
      "baseline": "bgk"},
+    # kernel-only device saturation (VERDICT r03 ask #2): tables pre-staged
+    # on device, sweep row count — what the engines do when *fed*
+    {"key": "kernel_roofline", "special": "roofline"},
     # depth-6 feasibility: reference bgklvoctomap_large_map.yaml (block_depth
     # 6 ⇒ V=32768).  No C++ ratio: the stand-ins run the demo configs.
     {"key": "bgklv_large_map_depth6", "method": "bgklvoctomap_large_map",
@@ -153,9 +156,9 @@ FALLBACK = {"bgk": 71.1, "bgkl": 5.3, "bgklv": 0.81, "gp": 13.4}
 def _dataset(name: str, scan_num):
     from la3dm_tpu.utils.config import DatasetConfig, load_dataset_config
 
-    if name == "@dense240":
+    if name == "@dense960":
         make_dense_dataset()
-        ds = DatasetConfig(name="dense240", dir=DENSE_DIR, prefix="dense240",
+        ds = DatasetConfig(name="dense960", dir=DENSE_DIR, prefix="dense960",
                            scan_num=DENSE_N, max_range=8.0)
     else:
         ds = load_dataset_config(name)
@@ -164,9 +167,96 @@ def _dataset(name: str, scan_num):
     return ds
 
 
+def run_roofline() -> dict:
+    """Kernel-only device saturation: tables pre-staged on device, sweep the
+    row count, report achieved GFLOP/s and MFU for (a) the aligned BGK/BGKL
+    row contraction (``models/bgk.py::_aligned_heavy`` — the production
+    heavy pass, scatter included; reference math bgkinference.h:73-126) and
+    (b) GP's padded batched Cholesky + solves (``kernels/gp.py::
+    gp_train_core``, reference gpregressor.h:42-92), plus (c) a dense bf16
+    matmul anchor showing what this chip's MXU yields under the same
+    harness.  This is the roofline counterpart to the per-workload
+    host/device split: what the engines do when *fed*.
+    """
+    import functools
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from la3dm_tpu.kernels import gp as kgp
+    from la3dm_tpu.models import bgk as B
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_F32.get(kind, PEAK_F32_DEFAULT)
+    out = {"device_kind": kind, "peak_f32_flops": peak}
+
+    def best_s(fn, n=5):
+        fn()  # warm/compile
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # (c) MXU anchor: one dense bf16 matmul
+    N = 8192
+    x = jnp.ones((N, N), jnp.bfloat16)
+    mm = jax.jit(lambda a: (a @ a)[0, 0])
+    t = best_s(lambda: mm(x))
+    out["mxu_bf16_8192_matmul"] = {
+        "gflops_per_s": round(2 * N ** 3 / t / 1e9, 1),
+        "mfu_pct_vs_bf16_peak": round(100 * 2 * N ** 3 / t / (2 * peak), 1)}
+
+    # (a) aligned BGK row contraction at production shapes
+    rng = np.random.default_rng(0)
+    G, Vall, Wa, chunk = 7, 585, 8, 64
+    Tp = 2048
+    FLOP_KERNEL = 34  # 3-axis diff/sq/acc + sqrt + sparse kernel + dot MAC
+
+    @functools.partial(jax.jit, static_argnames=("Wa", "chunk", "G", "seg"))
+    def heavy_only(ext, e, l, m, tg, Wa, chunk, G, seg):
+        acc = jnp.zeros((Tp * G, Vall, 2), jnp.float32)
+        return B._aligned_heavy(acc, ext, e, l, m, tg, Wa, chunk, G,
+                                1.0, 0.2, seg)[0, 0, 0]
+
+    ext = jnp.asarray(rng.uniform(-1, 1, (G * Vall, 3)).astype(np.float32))
+    for rows in (8192, 32768, 131072):
+        e = jnp.asarray(rng.uniform(-1, 1, (rows * Wa, 3)).astype(np.float32))
+        l = jnp.asarray((rng.random(rows * Wa) < 0.3).astype(np.float32))
+        m = jnp.asarray(np.ones(rows * Wa, bool))
+        tg = jnp.asarray(rng.integers(0, Tp * G, (rows, G)).astype(np.int32))
+        t = best_s(lambda: heavy_only(ext, e, l, m, tg, Wa, chunk, G, False))
+        fl = rows * Wa * G * Vall * FLOP_KERNEL
+        out[f"bgk_row_engine_rows{rows}"] = {
+            "gflops_per_s": round(fl / t / 1e9, 1),
+            "mfu_pct": round(100 * fl / t / peak, 2),
+            "kernel_evals_per_s": round(rows * Wa * G * Vall / t / 1e9, 2)}
+
+    # (b) GP batched Cholesky + triangular solves (both size tiers)
+    for S, Bk in ((64, 2048), (256, 256)):
+        pts = jnp.asarray(rng.uniform(-1, 1, (Bk, S, 3)).astype(np.float32))
+        lab = jnp.asarray(rng.uniform(-1, 1, (Bk, S)).astype(np.float32))
+        val = jnp.asarray(np.ones((Bk, S), bool))
+
+        @jax.jit
+        def gp_fn(p, y, q):
+            L, alpha = kgp.gp_train_core(p, y, q, sf2=1.0, ell=1.0,
+                                         noise=0.01)
+            return L[0, 0, 0] + alpha[0, 0]
+
+        t = best_s(lambda: gp_fn(pts, lab, val))
+        fl = Bk * (20 * S * S + S ** 3 / 3.0 + 2 * S * S)
+        out[f"gp_cholesky_S{S}_B{Bk}"] = {
+            "gflops_per_s": round(fl / t / 1e9, 1),
+            "mfu_pct": round(100 * fl / t / peak, 2)}
+    return out
+
+
 def run_one(spec: dict) -> dict:
     """One config's measurement (runs inside its own process)."""
     sys.path.insert(0, REPO)
+    if spec.get("special") == "roofline":
+        return run_roofline()
     from la3dm_tpu.pipeline import run_static
     from la3dm_tpu.utils.config import load_method_config
 
@@ -260,8 +350,8 @@ def main() -> int:
             print(f"config {spec['key']} failed: {e}\n{tail}", file=sys.stderr)
             continue
         if spec.get("baseline"):
-            if spec["dataset"] == "@dense240":
-                bdir, bprefix, bn = DENSE_DIR, "dense240", DENSE_N
+            if spec["dataset"] == "@dense960":
+                bdir, bprefix, bn = DENSE_DIR, "dense960", DENSE_N
             else:
                 bdir = f"{REF_DATA}/{spec['dataset']}"
                 bprefix = spec["dataset"]

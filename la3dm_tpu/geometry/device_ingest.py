@@ -190,6 +190,15 @@ def _downsample(points: jax.Array, valid: jax.Array, leaf: float,
     """Voxel-grid downsample, z-major voxel order (pcl::VoxelGrid semantics,
     geometry/preprocess.py::voxel_downsample).
 
+    Centroids accumulate COMPENSATED: the segmented sum runs over
+    ``p − voxel_corner`` and the corner (recovered from the voxel key) is
+    added back after the mean.  The host path averages in f64, and sensor
+    origins routinely sit exactly on block faces (blocks.py::
+    point_block_memberships) — a voxel holding N copies of the origin must
+    average to the origin EXACTLY or the closed-box membership flips.  With
+    compensation the identical-copies case is exact (d = 0) and the general
+    error is ~ulp(leaf) instead of ~ulp(Σp).
+
     Returns (centroids [n_out,3], valid [n_out], n_voxels scalar) — voxels
     beyond ``n_out`` are dropped (the caller checks ``n_voxels``).
     """
@@ -202,14 +211,18 @@ def _downsample(points: jax.Array, valid: jax.Array, leaf: float,
         valid,
         (loc[:, 2] << 20) | (loc[:, 1] << 10) | loc[:, 0],  # z-major order
         _SENT)
+    d = points - ijk.astype(jnp.float32) * jnp.float32(leaf)
     key_s, xs, ys, zs = lax.sort(
-        (key, points[:, 0], points[:, 1], points[:, 2]),
-        num_keys=1, is_stable=True)
-    pts_s = jnp.stack([xs, ys, zs], axis=1)
-    sums = _seg_scan_sum(key_s, jnp.where((key_s != _SENT)[:, None], pts_s, 0.0))
+        (key, d[:, 0], d[:, 1], d[:, 2]), num_keys=1, is_stable=True)
+    d_s = jnp.stack([xs, ys, zs], axis=1)
+    sums = _seg_scan_sum(key_s, jnp.where((key_s != _SENT)[:, None], d_s, 0.0))
     epos, cnt, n_vox = _run_ends(key_s, n_out)
+    ke = key_s[jnp.minimum(epos, key_s.shape[0] - 1)]
+    loc_e = jnp.stack([ke & 0x3FF, (ke >> 10) & 0x3FF, (ke >> 20) & 0x3FF],
+                      axis=-1)
+    corner = (loc_e + m0[None, :]).astype(jnp.float32) * jnp.float32(leaf)
     tot = sums[jnp.minimum(epos, key_s.shape[0] - 1)]
-    cent = tot / jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
+    cent = corner + tot / jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
     return cent, cnt > 0, n_vox
 
 
@@ -262,24 +275,61 @@ def _local_keys(mcoord: jax.Array, mok: jax.Array) -> tuple[jax.Array, jax.Array
     return key, bmin
 
 
-def _bucket_tables(mkey_s: jax.Array, spec: IngestSpec, off_keys: jax.Array):
-    """Sorted membership keys → unique-block + test-block tables.
+def _bucket_align(mkey: jax.Array, payloads: tuple, spec: IngestSpec,
+                  off_keys: jax.Array):
+    """Raw membership keys + payload columns → Wa-aligned sorted entry
+    tables plus the unique-/test-block lookup tables.
 
-    All lookups are equality one-hot matmuls (exact in f32: every operand is
-    a position/count < 2^18 ≪ 2^24).
+    Two sorts: a key-only pass establishes per-block counts, from which a
+    pad grid (same keys, sentinel-masked) is built so every block's entry
+    run becomes a multiple of ``spec.Wa``; the second (stable, payload-
+    carrying) sort splices the pads after each block's real entries — the
+    engine then consumes entries by pure reshape, no gathers.  All key
+    lookups are equality one-hot matmuls (exact in f32: every operand is a
+    position/count < 2^21 ≪ 2^24).
     """
-    M = mkey_s.shape[0]
-    Bu, T, G = spec.Bu, spec.T, off_keys.shape[0]
+    Mraw = mkey.shape[0]
+    Bu, T, G, Wa = spec.Bu, spec.T, off_keys.shape[0], spec.Wa
 
-    # unique entry blocks in rank space
+    # ---- pass 1: key-only sort → per-block counts in rank space
+    mkey_s = jnp.sort(mkey)
     epos, ucount, n_ublk = _run_ends(mkey_s, Bu)
-    uvalid = epos < M
-    ukey = jnp.where(uvalid, mkey_s[jnp.minimum(epos, M - 1)], _SENT)
-    ustart = jnp.where(uvalid, epos - ucount + 1, 0)
+    uvalid = epos < Mraw
+    ukey = jnp.where(uvalid, mkey_s[jnp.minimum(epos, Mraw - 1)], _SENT)
+    fpos = jnp.where(uvalid, epos - ucount + 1, 0)
     n_mem = jnp.sum((mkey_s != _SENT).astype(jnp.int32))
 
-    # test blocks = every block whose G-neighborhood holds ≥1 entry block
-    # (bucketing.test_blocks_for; symmetric offset sets ⇒ u ± off equal)
+    # ---- alignment pads: (Wa − c mod Wa) mod Wa extra rows per block
+    pad_needed = jnp.where(ucount > 0, (Wa - ucount % Wa) % Wa, 0)
+    pshift = jnp.cumsum(pad_needed) - pad_needed            # exclusive
+    ustart = jnp.where(uvalid, fpos + pshift, 0)            # ALIGNED starts
+    jcol = jnp.arange(Wa - 1, dtype=jnp.int32)[None, :]
+    pad_keys = jnp.where(jcol < pad_needed[:, None], ukey[:, None],
+                         _SENT).reshape(-1)                 # [Bu·(Wa−1)]
+    n_align = n_mem + jnp.sum(pad_needed)
+
+    # ---- pass 2: stable payload sort over reals (first) + pads
+    keys2 = jnp.concatenate([mkey, pad_keys])
+    npad = pad_keys.shape[0]
+    real = jnp.concatenate([jnp.ones((Mraw,), jnp.float32),
+                            jnp.zeros((npad,), jnp.float32)])
+    cols2 = tuple(jnp.concatenate([p, jnp.zeros((npad,), p.dtype)])
+                  for p in payloads)
+    sorted2 = lax.sort((keys2, *cols2, real), num_keys=1, is_stable=True)
+    mkey_a = sorted2[0]
+    cols_a = sorted2[1:-1]
+    vmask = (mkey_a != _SENT) & (sorted2[-1] > 0.5)
+
+    # per-position block rank (rows never straddle blocks: every aligned
+    # run is a multiple of Wa and run 0 starts at 0)
+    new_a = jnp.concatenate(
+        [mkey_a[:1] != _SENT,
+         (mkey_a[1:] != mkey_a[:-1]) & (mkey_a[1:] != _SENT)])
+    rank_a = jnp.cumsum(new_a.astype(jnp.int32)) - 1
+    urank_rows = rank_a.reshape(-1, Wa)[:, 0]               # [R2]
+
+    # ---- test blocks = every block whose G-neighborhood holds ≥1 entry
+    # block (bucketing.test_blocks_for; symmetric offsets ⇒ u ± off equal)
     cand = jnp.where(uvalid[:, None], ukey[:, None] + off_keys[None, :],
                      _SENT).reshape(-1)
     cand_s = jnp.sort(cand)
@@ -288,18 +338,9 @@ def _bucket_tables(mkey_s: jax.Array, spec: IngestSpec, off_keys: jax.Array):
     tkey = jnp.where(tvalid, cand_s[jnp.minimum(tepos, cand_s.shape[0] - 1)],
                      _SENT)
 
-    # per-(test block, slot) segments: eq-matmul lookup into the rank tables
-    nbk = jnp.where(tvalid[:, None], tkey[:, None] + off_keys[None, :],
-                    jnp.int32(-2))                            # [T,G]
-    eq = (nbk.reshape(-1)[:, None] == ukey[None, :]) & uvalid[None, :]
-    eqf = eq.astype(jnp.float32)                              # [T·G, Bu]
-    tstart = (eqf @ ustart.astype(jnp.float32)).astype(jnp.int32)
-    tcount = (eqf @ ucount.astype(jnp.float32)).astype(jnp.int32)
-    tstart = tstart.reshape(T, G)
-    tcount = tcount.reshape(T, G)
-
-    # GP extra: the test-block row each model serves at slot g
-    # (gp.py::_model_tables nb_t; u − off is always a test block)
+    # the test-block row each entry block serves at slot g (u − off is
+    # always a test block; gp.py::_model_tables nb_t and the BGK scatter
+    # targets both come from this)
     ub = jnp.where(uvalid[:, None], ukey[:, None] - off_keys[None, :],
                    jnp.int32(-2))                             # [Bu,G]
     eq2 = (ub.reshape(-1)[:, None] == tkey[None, :]) & tvalid[None, :]
@@ -308,10 +349,12 @@ def _bucket_tables(mkey_s: jax.Array, spec: IngestSpec, off_keys: jax.Array):
     hit2 = jnp.any(eq2, axis=1)
     nb_row = jnp.where(hit2, pos, T).reshape(Bu, G)
 
-    return {"ukey": ukey, "ustart": ustart, "ucount": ucount,
-            "tkey": tkey, "tstart": tstart, "tcount": tcount,
-            "nb_row": nb_row, "n_mem": n_mem, "n_ublk": n_ublk,
-            "n_test": n_test}
+    return {"mkey_a": mkey_a, "cols_a": cols_a, "vmask": vmask,
+            "urank_rows": urank_rows,
+            "ukey": ukey, "ustart": ustart, "ucount": ucount,
+            "tkey": tkey, "nb_row": nb_row,
+            "n_mem": n_mem, "n_ublk": n_ublk, "n_test": n_test,
+            "n_align": n_align}
 
 
 def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
@@ -360,29 +403,42 @@ def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     # 6-7. closed-box memberships → scan-local keys
     mcoord, mok = _closed_box_memberships(ent, evalid, spec.block_size)
     mkey, bmin = _local_keys(mcoord, mok)
-    mkey = mkey.reshape(-1)                                  # [M], entry-major
+    mkey = mkey.reshape(-1)                                  # [Mraw], entry-major
 
-    # 8. ONE payload-carrying stable sort replaces argsort + 1M-row gathers
+    # 8-10. key-only sort → alignment pads → payload sort → lookup tables
     rep = lambda a: jnp.repeat(a, 8, axis=0)
-    mkey_s, exs, eys, ezs, labs = lax.sort(
-        (mkey, rep(ent[:, 0]), rep(ent[:, 1]), rep(ent[:, 2]), rep(lab)),
-        num_keys=1, is_stable=True)
-    ent_s = jnp.stack([exs, eys, ezs], axis=1)
+    tabs = _bucket_align(
+        mkey, (rep(ent[:, 0]), rep(ent[:, 1]), rep(ent[:, 2]), rep(lab)),
+        spec, off_keys)
+    ent_a = jnp.stack(tabs["cols_a"][:3], axis=1)            # [M,3] aligned
+    labs = tabs["cols_a"][3]
+    return dict(_common_outputs(tabs, ent_a, labs, bmin, spec),
+                counts=jnp.stack([
+                    n_hit_vox, n_free_vox, tabs["n_mem"], tabs["n_ublk"],
+                    tabs["n_test"], jnp.int32(0), tabs["n_align"]]))
 
-    # 9-11. unique blocks, test blocks, per-(test, slot) segment tables
-    tabs = _bucket_tables(mkey_s, spec, off_keys)
 
+def _common_outputs(tabs: dict, ent_a: jax.Array, labs: jax.Array,
+                    bmin: jax.Array, spec: IngestSpec) -> dict:
+    """Shared output dict: aligned entry tables + block-relative coords."""
+    # entries relative to their own block center — the aligned engine
+    # evaluates kernels against G statically-shifted node tables, so no
+    # per-row centers (or gathers) are needed (models/bgk.py)
+    k = tabs["mkey_a"]
+    loc = jnp.stack([k & 0x3FF, (k >> 10) & 0x3FF, (k >> 20) & 0x3FF], axis=-1)
+    ctr = (loc + bmin[None, :]).astype(jnp.float32) * jnp.float32(spec.block_size)
+    if spec.segments:
+        ent_rel = ent_a - jnp.concatenate([ctr, ctr], axis=1)
+    else:
+        ent_rel = ent_a - ctr
+    ent_rel = jnp.where(tabs["vmask"][:, None], ent_rel, 0.0)
     return {
-        "ent": ent_s, "lab": labs,                 # [M,3], [M] block-sorted
+        "ent": ent_a, "ent_rel": ent_rel, "lab": labs,   # [M,D] aligned
+        "vmask": tabs["vmask"], "urank_rows": tabs["urank_rows"],
         "ukey": tabs["ukey"], "ustart": tabs["ustart"],
-        "ucount": tabs["ucount"],                  # [Bu]
-        "tkey": tabs["tkey"], "tstart": tabs["tstart"],
-        "tcount": tabs["tcount"],                  # [T], [T,G]
-        "nb_row": tabs["nb_row"],                  # [Bu,G]
-        "bias": bmin,                              # [3] local→global block
-        "counts": jnp.stack([
-            n_hit_vox, n_free_vox, tabs["n_mem"], tabs["n_ublk"],
-            tabs["n_test"], jnp.int32(0)]),
+        "ucount": tabs["ucount"],                        # [Bu]
+        "tkey": tabs["tkey"], "nb_row": tabs["nb_row"],  # [T], [Bu,G]
+        "bias": bmin,                                    # [3] local→global
     }
 
 
@@ -450,29 +506,19 @@ def _ingest_scan_bgkl(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     rep8 = lambda a: jnp.repeat(a, 8, axis=0)
     repR = lambda a: jnp.repeat(a, Rmax, axis=0)
     mkey = jnp.concatenate([hkey.reshape(-1), ukeys_r.reshape(-1)])
-    cols = [jnp.concatenate([rep8(hseg[:, c]), repR(rseg[:, c])])
-            for c in range(6)]
+    cols = tuple(jnp.concatenate([rep8(hseg[:, c]), repR(rseg[:, c])])
+                 for c in range(6))
     labc = jnp.concatenate([jnp.ones((P * 8,), jnp.float32),
                             jnp.zeros((P * Rmax,), jnp.float32)])
-    sorted_all = lax.sort((mkey, *cols, labc), num_keys=1, is_stable=True)
-    mkey_s = sorted_all[0]
-    ent_s = jnp.stack(sorted_all[1:7], axis=1)               # [M,6]
-    labs = sorted_all[7]
 
-    tabs = _bucket_tables(mkey_s, spec, off_keys)
-
-    return {
-        "ent": ent_s, "lab": labs,                 # [M,6], [M] block-sorted
-        "ukey": tabs["ukey"], "ustart": tabs["ustart"],
-        "ucount": tabs["ucount"],
-        "tkey": tabs["tkey"], "tstart": tabs["tstart"],
-        "tcount": tabs["tcount"],
-        "nb_row": tabs["nb_row"],
-        "bias": bmin,
-        "counts": jnp.stack([
-            n_hit_vox, jnp.int32(0), tabs["n_mem"], tabs["n_ublk"],
-            tabs["n_test"], jnp.max(n_ray_u, initial=0)]),
-    }
+    tabs = _bucket_align(mkey, cols + (labc,), spec, off_keys)
+    ent_a = jnp.stack(tabs["cols_a"][:6], axis=1)            # [M,6] aligned
+    labs = tabs["cols_a"][6]
+    return dict(_common_outputs(tabs, ent_a, labs, bmin, spec),
+                counts=jnp.stack([
+                    n_hit_vox, jnp.int32(0), tabs["n_mem"], tabs["n_ublk"],
+                    tabs["n_test"], jnp.max(n_ray_u, initial=0),
+                    tabs["n_align"]]))
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -486,112 +532,28 @@ def ingest_batch(clouds: jax.Array, npts: jax.Array, origins: jax.Array,
 
 
 # --------------------------------------------------------------------------
-# BGK/BGKL row tables (models/bgk.py::_row_tables, built on device)
+# BGK/BGKL aligned-row scatter targets (models/bgk.py::_bgk_seq_step_aligned)
 # --------------------------------------------------------------------------
 
 
-def _last_valid(vals: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Inclusive 'last valid value' scan: out[i] = vals[j] for the largest
-    j ≤ i with mask[j] (associative, so it runs as a log-depth scan)."""
+@functools.partial(jax.jit, static_argnames=("T", "G"))
+def row_targets(urank_rows: jax.Array, nb_row: jax.Array,
+                T: int, G: int) -> jax.Array:
+    """Per aligned row, the G flat accumulator targets.
 
-    def comb(a, b):
-        return jnp.where(b[1], b[0], a[0]), a[1] | b[1]
-
-    v, m = lax.associative_scan(comb, (vals, mask))
-    return v, m
-
-
-def _expand_tables(counts: jax.Array, values: jax.Array, n_out: int):
-    """Ragged expansion over [S] segments → per-position tables on [n_out].
-
-    Returns (seg, within, val) where for output position f inside segment s:
-    seg[f] = s, within[f] = f − start(s), val[f] = values[s].  Positions past
-    the total are clamped into the last segment (callers mask by the live
-    count).  Built from TPU-fast pieces only: one small scatter per table
-    (S elements), ``cummax`` for the monotone ids/starts, and a scattered
-    first-difference + ``cumsum`` for the non-monotone values.
+    urank_rows [K, R2p] — block rank of each Wa-row within its scan (rows
+    past the live region carry the last rank: harmless, their entries are
+    all masked so they scatter zeros).  nb_row [K, Bu, G] — the test-block
+    row each entry block serves at slot g (T ⇒ miss).  Returns [K·R2p, G]
+    indices into the [K·T·G] flat accumulator (K·T·G ⇒ dropped).
     """
-    S = counts.shape[0]
-    ends = jnp.cumsum(counts)
-    starts = ends - counts
-    nz = counts > 0
-    spos = jnp.where(nz, starts, n_out)                      # scatter targets
-    sidx = jnp.arange(S, dtype=jnp.int32)
-
-    # segment id: scatter-max ids at start positions, then running max
-    m1 = jnp.full((n_out,), -1, jnp.int32).at[spos].max(
-        jnp.where(nz, sidx, -1), mode="drop")
-    seg = jnp.clip(lax.cummax(m1), 0, S - 1)
-
-    # start position: same trick (positions are monotone too)
-    m2 = jnp.zeros((n_out,), jnp.int32).at[spos].max(
-        jnp.where(nz, starts, 0), mode="drop")
-    within = jnp.arange(n_out, dtype=jnp.int32) - lax.cummax(m2)
-
-    # per-position segment value: scatter first-differences, integrate
-    prev_v, prev_m = _last_valid(values, nz)
-    prev_v = jnp.concatenate([jnp.zeros((1,), values.dtype), prev_v[:-1]])
-    prev_m = jnp.concatenate([jnp.zeros((1,), bool), prev_m[:-1]])
-    delta = values - jnp.where(prev_m, prev_v, 0)
-    d = jnp.zeros((n_out,), values.dtype).at[spos].add(
-        jnp.where(nz, delta, 0), mode="drop")
-    val = jnp.cumsum(d)
-    return seg, within, val
-
-
-def _rows_scan(tstart: jax.Array, tcount: jax.Array, W: int,
-               Fp: int, Rp: int) -> dict:
-    """One scan's merged entry-id list + fixed-width rows.
-
-    Mirrors the host construction exactly: ids = per test block, its G
-    neighbor segments concatenated (slot-major within the block); rows cut
-    the per-block lists into width-W pieces.
-    """
-    T, G = tstart.shape
-    totals = jnp.sum(tcount, axis=1)                         # [T]
-    mstart = jnp.cumsum(totals) - totals                     # exclusive
-    segcnt = tcount.reshape(-1)                              # [T*G] merged order
-    F_act = jnp.sum(segcnt)
-
-    seg, within, tst = _expand_tables(segcnt, tstart.reshape(-1), Fp)
-    f = jnp.arange(Fp, dtype=jnp.int32)
-    ids = jnp.where(f < F_act, tst + within, 0)
-    gslot = (seg % G).astype(jnp.int8)
-
-    nrows = (totals + (W - 1)) // W
-    R_act = jnp.sum(nrows)
-    b, j, mst = _expand_tables(nrows, mstart, Rp)
-    _, _, tot = _expand_tables(nrows, totals, Rp)
-    live = jnp.arange(Rp, dtype=jnp.int32) < R_act
-    row_block = jnp.where(live, b, -1)
-    row_start = jnp.where(live, mst + j * W, 0)
-    row_count = jnp.where(live, jnp.clip(tot - j * W, 0, W), 0)
-    return {"ids": ids, "gslot": gslot, "row_block": row_block,
-            "row_start": row_start, "row_count": row_count,
-            "F": F_act, "R": R_act}
-
-
-@functools.partial(jax.jit, static_argnames=("W", "Fp", "Rp", "M", "T"))
-def rows_batch(tstart: jax.Array, tcount: jax.Array, W: int, Fp: int, Rp: int,
-               M: int, T: int) -> dict:
-    """Row tables for a K-scan batch, flattened with static per-scan offsets.
-
-    ``ids`` index the [K·M] flattened entry table; ``row_block`` the [K·T]
-    flattened test-block list; ``row_start`` the [K·Fp] flattened id list.
-    Padding rows keep count 0 (heavy-pass no-ops) and block −1 → remapped to
-    the caller's dead slot.
-    """
-    K = tstart.shape[0]
-    per = jax.vmap(lambda ts, tc: _rows_scan(ts, tc, W, Fp, Rp))(tstart, tcount)
-    soff = jnp.arange(K, dtype=jnp.int32)
-    ids = (per["ids"] + (soff * M)[:, None]).reshape(-1)
-    row_block = jnp.where(per["row_block"] >= 0,
-                          per["row_block"] + (soff * T)[:, None],
-                          K * T).reshape(-1)
-    row_start = (per["row_start"] + (soff * Fp)[:, None]).reshape(-1)
-    return {"ids": ids, "gslot": per["gslot"].reshape(-1),
-            "row_block": row_block, "row_start": row_start,
-            "row_count": per["row_count"].reshape(-1)}
+    K, Bu = nb_row.shape[:2]
+    r = jnp.clip(urank_rows, 0, Bu - 1)
+    nb = jax.vmap(lambda rr, nbr: nbr[rr])(r, nb_row)        # [K, R2p, G]
+    tflat = (nb + (jnp.arange(K, dtype=jnp.int32) * T)[:, None, None]) * G \
+        + jnp.arange(G, dtype=jnp.int32)[None, None, :]
+    tgt = jnp.where(nb >= T, K * T * G, tflat)
+    return tgt.reshape(-1, G)
 
 
 def unpack_local_keys(keys: np.ndarray, bias: np.ndarray) -> np.ndarray:

@@ -177,6 +177,153 @@ def _bgk_seq_step(A, Bv, touched, eff, all_nodes, node_idx_tab,
     return A, Bv, touched, eff
 
 
+def _select_eff(vals: jax.Array, eff_b: jax.Array, n: int, block_depth: int):
+    """Select each voxel's value at its eff-level ancestor node — the
+    gather-free form of ``node_idx_tab`` indexing.
+
+    ``vals`` [Bt, Vall] is level-major (all_level_nodes order: level 0 in
+    x-fastest raster, then level 1's (n/2)³ nodes, ...).  Each level's slab
+    upsamples to base resolution by pure broadcast/reshape (ancestor ids are
+    per-axis shifts in raster order), then ``eff_b`` [Bt, V] picks levels
+    elementwise.  Replaces a per-element take_along_axis gather that
+    profiled at ~10 ms per chunk on a v5e.
+    """
+    Bt = vals.shape[0]
+    off = 0
+    sel = None
+    for L in range(block_depth):
+        m = n >> L
+        s = 1 << L
+        lvl = vals[:, off:off + m ** 3].reshape(Bt, m, 1, m, 1, m, 1)
+        up = jnp.broadcast_to(lvl, (Bt, m, s, m, s, m, s)).reshape(Bt, n ** 3)
+        sel = up if sel is None else jnp.where(eff_b == L, up, sel)
+        off += m ** 3
+    return sel
+
+
+def _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, tgt,
+                   Wa: int, chunk: int, G: int, sf2: float, ell: float,
+                   segments: bool):
+    """The aligned heavy pass: kernel rows × G shifted node tables → flat
+    scatter-add into ``acc`` [Tp·G, Vall, 2].  Shared by the sequence engine
+    and the bench roofline microbench (bench.py) so the saturation numbers
+    measure exactly the production computation."""
+    GV, D = ext_nodes.shape[0], ent_rel.shape[-1]
+    Vall = GV // G
+    R2K = tgt.shape[0]
+    nch = R2K // chunk
+
+    def rc(x):
+        return x.reshape((nch, chunk) + x.shape[1:])
+
+    def heavy(acc, xs):
+        e, l, m, tg = xs                        # [c,Wa,D],[c,Wa],[c,Wa],[c,G]
+
+        def one(e_r, l_r, m_r):
+            if segments:
+                Km = km.cov_sparse_segment(ext_nodes, e_r, sf2, ell, lv=False)
+            else:
+                Km = km.cov_sparse(ext_nodes, e_r, sf2, ell)
+            Km = jnp.where(m_r[None, :], Km, 0.0)            # [GV, Wa]
+            rhs = jnp.stack([jnp.where(m_r, l_r, 0.0),
+                             m_r.astype(jnp.float32)], axis=1)  # [Wa,2]
+            return jnp.dot(Km, rhs, preferred_element_type=jnp.float32)
+
+        out = jax.vmap(one)(e, l, m).reshape(chunk, G, Vall, 2)
+        return acc.at[tg.reshape(-1)].add(
+            out.reshape(chunk * G, Vall, 2), mode="drop"), None
+
+    acc, _ = jax.lax.scan(
+        heavy, acc,
+        (rc(ent_rel.reshape(R2K, Wa, D)), rc(labels.reshape(R2K, Wa)),
+         rc(vmask.reshape(R2K, Wa)), rc(tgt)))
+    return acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Wa", "chunk", "G", "sf2", "ell", "gate", "n",
+                     "max_level", "segments", "state_fn", "do_prune",
+                     "scan_bt", "block_depth"),
+    donate_argnames=("A", "Bv", "touched", "eff"),
+)
+def _bgk_seq_step_aligned(A, Bv, touched, eff, ext_nodes,
+                          ent_rel, labels, vmask, tgt,
+                          slots_flat, scan_start, scan_count,
+                          Wa: int, chunk: int, G: int, sf2: float, ell: float,
+                          gate: float, n: int, max_level: int, segments: bool,
+                          block_depth: int, state_fn=None,
+                          do_prune: bool = False, scan_bt: int = 1024):
+    """Gather-free sequence engine for the block-ALIGNED entry layout.
+
+    The ingest pipeline (geometry/device_ingest.py) pads each block's
+    sorted entries to a multiple of Wa, so the heavy pass consumes entries
+    by ``lax.scan`` slicing — no id expansion, no entry gathers.  Each
+    Wa-row belongs to ONE entry block u; its kernel matrix is evaluated
+    against G *constant* shifted node tables at once:
+
+      nodes(t) − e  =  all_nodes + center(t) − center(u) − ent_rel
+                    =  (all_nodes − off_g·bs) − ent_rel          [t = u − off_g]
+
+    so ``ext_nodes`` [G·Vall, 3] = all_nodes − off_g·bs is a per-config
+    constant and per-row block centers never enter the engine.  The row's
+    [G, Vall, 2] (ȳ, k̄) contributions scatter-add into the flat
+    [Tp·G, Vall, 2] accumulator at the precomputed ``tgt`` indices
+    (K·T·G ⇒ drop).  The light pass is the same per-scan gate + Beta
+    update + prune as the reference loop (bgkoctomap.cpp:309-353), with
+    the eff-level node selection done by broadcast (``_select_eff``).
+    """
+    GV = ext_nodes.shape[0]
+    Vall = GV // G
+    R2K = tgt.shape[0]
+    Tp = slots_flat.shape[0]
+    cap = eff.shape[0] - 1
+    D = ent_rel.shape[-1]
+
+    acc = jnp.zeros((Tp * G, Vall, 2), jnp.float32)
+    acc = _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, tgt,
+                         Wa, chunk, G, sf2, ell, segments)
+
+    accr = acc.reshape(Tp, G, Vall, 2)
+    ybar = accr[..., 0].transpose(0, 2, 1)                   # [Tp, Vall, G]
+    kbar = accr[..., 1].transpose(0, 2, 1)
+
+    brow = jnp.arange(scan_bt, dtype=jnp.int32)
+
+    def light_step(carry, xs):
+        A, Bv, touched, eff = carry
+        start, count = xs
+        bidx = jnp.minimum(start + brow, Tp - 1)
+        mask = brow < count
+        slots_k = jnp.where(mask, slots_flat[bidx], cap + 1)    # sentinel pad
+        dAall, dBall, tchall = kp.beta_update(
+            ybar[bidx], kbar[bidx], gate)                       # [Bt,Vall]
+        eff_b = eff[jnp.minimum(slots_k, cap)]                  # [Bt,V]
+        dA = _select_eff(dAall, eff_b, n, block_depth)
+        dB = _select_eff(dBall, eff_b, n, block_depth)
+        tch = _select_eff(tchall, eff_b, n, block_depth)
+        A = A.at[slots_k].add(dA, mode="drop")
+        Bv = Bv.at[slots_k].add(dB, mode="drop")
+        touched = touched.at[slots_k].max(tch, mode="drop")
+        if do_prune:
+            from la3dm_tpu.models import pruning
+
+            safe = jnp.minimum(slots_k, cap)
+            vals = {"A": A[safe], "B": Bv[safe],
+                    "touched": touched[safe].astype(jnp.float32)}
+            new_vals, new_eff = pruning.prune_blocks(
+                vals, eff[safe], n=n, max_level=max_level, state_fn=state_fn)
+            A = A.at[slots_k].set(new_vals["A"], mode="drop")
+            Bv = Bv.at[slots_k].set(new_vals["B"], mode="drop")
+            touched = touched.at[slots_k].set(new_vals["touched"] > 0, mode="drop")
+            eff = eff.at[slots_k].set(new_eff, mode="drop")
+        return (A, Bv, touched, eff), None
+
+    (A, Bv, touched, eff), _ = jax.lax.scan(
+        light_step, (A, Bv, touched, eff), (scan_start, scan_count))
+    return A, Bv, touched, eff
+
+
 class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
     """BGK occupancy map (ctor params: bgkoctomap.cpp:31-56)."""
 
@@ -203,55 +350,55 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
 
     def _dispatch_ingest_chunk(self, out, fetched, slots, centers, spec,
                                K_pad: int, n_scans: int) -> None:
-        """Device tables → row tables → the sequence engine, zero host math."""
+        """Aligned device tables → the gather-free sequence engine."""
         t0 = time.perf_counter()
         cfg = self.cfg
         G = self.num_slots
-        W = _ROW_W
+        Wa = spec.Wa
         T = spec.T
         Vall = self._all_nodes_host.shape[0]
         cts = fetched["counts"]
         n_mem = cts[:, 2]
-        # F = G·memberships exactly (each entry block feeds G test blocks);
-        # rows ≤ ⌈F/W⌉ + blocks — monotone pads keep executables stable
+        # live aligned rows: the sorted layout puts all real entries (plus
+        # their block pads) in a prefix, so the engine only consumes a
+        # monotone-padded slice of the static [M]-sized tables
+        live_rows = -(-int(cts[:, 6].max(initial=0)) // Wa)
         pad = _GLOBAL_PADS.setdefault(
-            ("ingest", type(self).__name__, cfg, K_pad),
-            {"F": 4096, "R": _CHUNK * 4})
-        pad["F"] = max(pad["F"], base.next_pow2(
-            max(int(n_mem.max(initial=0)) * G, 4096)))
-        pad["R"] = max(pad["R"], base.round_up(
-            int(n_mem.max(initial=0)) * G // W + int(cts[:, 4].max(initial=0))
-            + _CHUNK, _CHUNK))
-        Fp, Rp = pad["F"], pad["R"]
+            ("ingest", type(self).__name__, cfg, K_pad), {"R2": _CHUNK * 4})
+        pad["R2"] = max(pad["R2"],
+                        base.round_up(max(live_rows, _CHUNK), _CHUNK))
+        R2p = min(pad["R2"], spec.R2)
+        L = R2p * Wa
 
-        rows = device_ingest.rows_batch(out["tstart"], out["tcount"],
-                                        W=W, Fp=Fp, Rp=Rp, M=spec.M, T=T)
+        ent_rel = out["ent_rel"][:, :L].reshape(K_pad * L, spec.D)
+        lab = out["lab"][:, :L].reshape(-1)
+        vmask = out["vmask"][:, :L].reshape(-1)
+        tgt = device_ingest.row_targets(out["urank_rows"][:, :R2p],
+                                        out["nb_row"], T, G)
         ss = np.arange(K_pad, dtype=np.int32) * T
         sc = np.full(K_pad, T, np.int32)
 
-        if not hasattr(self, "_dev_consts"):
-            self._dev_consts = (jnp.asarray(self._all_nodes_host),
-                                jnp.asarray(self._node_idx_host))
-        an_dev, ni_dev = self._dev_consts
+        if not hasattr(self, "_ext_nodes_dev"):
+            shifts = (-np.asarray(self._neighbor_offsets, np.float32)
+                      * np.float32(self.block_size))             # [G,3]
+            self._ext_nodes_dev = jnp.asarray(
+                (self._all_nodes_host[None] + shifts[:, None, :])
+                .reshape(-1, 3).astype(np.float32))
         self.stats["kernel_evals"] += int(n_mem.sum()) * G * Vall
         self.stats["scans"] += n_scans
         self.stats["host_s"] += time.perf_counter() - t0
 
         statics = dict(
-            W=W, chunk=_CHUNK, G=G, sf2=cfg.sf2, ell=cfg.ell,
+            Wa=Wa, chunk=_CHUNK, G=G, sf2=cfg.sf2, ell=cfg.ell,
             gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
-            segments=self.SEGMENTS, state_fn=self._state_fn,
-            do_prune=cfg.block_depth > 1, scan_bt=T)
+            segments=self.SEGMENTS, block_depth=cfg.block_depth,
+            state_fn=self._state_fn, do_prune=cfg.block_depth > 1, scan_bt=T)
         (self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-         self.pool.eff_level) = _bgk_seq_step(
+         self.pool.eff_level) = _bgk_seq_step_aligned(
             self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
-            self.pool.eff_level, an_dev, ni_dev,
-            out["ent"].reshape(K_pad * spec.M, spec.D),
-            out["lab"].reshape(K_pad * spec.M),
-            rows["ids"], rows["gslot"],
-            rows["row_block"], rows["row_start"], rows["row_count"],
-            jnp.asarray(slots), jnp.asarray(centers),
-            jnp.asarray(ss), jnp.asarray(sc), **statics)
+            self.pool.eff_level, self._ext_nodes_dev,
+            ent_rel, lab, vmask, tgt,
+            jnp.asarray(slots), jnp.asarray(ss), jnp.asarray(sc), **statics)
 
     def _field_fills(self):
         # prior pseudo-counts are the pool fill values (bgkoctree_node.h:33)

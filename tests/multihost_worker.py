@@ -3,10 +3,11 @@
 Each process owns 2 virtual CPU devices; the block pools shard over the
 4-device global mesh.  Scan ingestion is replicated (deterministic), so
 both processes enqueue identical updates and GSPMD handles the cross-host
-scatter.  Runs the production scan path (``insert_pointcloud``) for TWO
-families — BGK (pool [capacity, V] scatter) and BGKLV (flat [capacity·V]
-scatter, the sharding-riskiest pattern) — and saves each map's full
-per-voxel state from process 0 for the test to compare.
+scatter.  Runs the production scan path (``insert_pointcloud``) for ALL
+FOUR families — BGK and BGKL (pool [capacity, V] scatter, point and
+segment entries), BGKLV (flat [capacity·V] scatter, the sharding-riskiest
+pattern), and GP (double heavy/light pass + BCM scatter) — and saves each
+map's full per-voxel state from process 0 for the test to compare.
 
 Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id> <out_dir>
 """
@@ -31,10 +32,19 @@ BGK_CFG = MapConfig(method="bgk", resolution=0.1, block_depth=3, sf2=1.0,
                     ell=0.2, free_resolution=0.5, ds_resolution=0.1,
                     free_thresh=0.3, occupied_thresh=0.7, var_thresh=100.0,
                     prior_A=0.001, prior_B=0.001, max_range=8.0)
+BGKL_CFG = MapConfig(method="bgkl", resolution=0.1, block_depth=3, sf2=0.1,
+                     ell=0.2, free_resolution=0.3, ds_resolution=0.1,
+                     free_thresh=0.3, occupied_thresh=0.7, var_thresh=0.15,
+                     prior_A=0.001, prior_B=0.001, max_range=8.0)
 LV_CFG = MapConfig(method="bgklv", resolution=0.1, block_depth=3, sf2=0.1,
                    ell=0.2, free_resolution=0.1, ds_resolution=0.1,
                    free_thresh=0.3, occupied_thresh=0.7, var_thresh=0.2,
                    prior_A=0.001, prior_B=0.001, min_W=0.001, max_range=8.0)
+GP_CFG = MapConfig(method="gp", resolution=0.1, block_depth=3, sf2=1.0,
+                   ell=1.0, free_resolution=0.5, ds_resolution=0.1,
+                   free_thresh=0.3, occupied_thresh=0.7, noise=0.01, l=100.0,
+                   min_var=0.001, max_var=1000.0, max_known_var=0.02,
+                   max_range=8.0)
 
 
 def scan_stream():
@@ -58,6 +68,10 @@ def seed_tiny_pads():
         Bm._GLOBAL_PADS.setdefault(
             (name, BGK_CFG),
             {"N": 1024, "F": 4096, "R": Bm._CHUNK, "T": 256, "B": 256})
+    for name in ("BGKLOctoMap", "ShardedBGKLOctoMap"):
+        Bm._GLOBAL_PADS.setdefault(
+            (name, BGKL_CFG),
+            {"N": 1024, "F": 4096, "R": Bm._CHUNK, "T": 256, "B": 256})
     for name in ("BGKLVOctoMap", "ShardedBGKLVOctoMap"):
         LVm._GLOBAL_PADS.setdefault(
             (name, LV_CFG), {"E": 1024, "F": 8192, "R": LVm._CHUNK, "T": 256})
@@ -67,8 +81,10 @@ def main():
     coord, n_procs, pid, out_dir = (sys.argv[1], int(sys.argv[2]),
                                     int(sys.argv[3]), sys.argv[4])
     from la3dm_tpu.parallel import distributed
-    from la3dm_tpu.parallel.sharded_map import (ShardedBGKLVOctoMap,
-                                                ShardedBGKOctoMap)
+    from la3dm_tpu.parallel.sharded_map import (ShardedBGKLOctoMap,
+                                                ShardedBGKLVOctoMap,
+                                                ShardedBGKOctoMap,
+                                                ShardedGPOctoMap)
 
     distributed.initialize(coord, n_procs, pid)
     assert len(jax.devices()) == 2 * n_procs, jax.devices()
@@ -80,7 +96,9 @@ def main():
     rep = pm.replicated(mesh)
     gather = jax.jit(lambda x: x, out_shardings=rep)  # all-gather over hosts
     for cls, cfg, name in [(ShardedBGKOctoMap, BGK_CFG, "bgk"),
-                           (ShardedBGKLVOctoMap, LV_CFG, "bgklv")]:
+                           (ShardedBGKLOctoMap, BGKL_CFG, "bgkl"),
+                           (ShardedBGKLVOctoMap, LV_CFG, "bgklv"),
+                           (ShardedGPOctoMap, GP_CFG, "gp")]:
         m = cls(cfg, mesh=mesh, capacity=2048)
         for cloud, origin in scan_stream():
             m.insert_pointcloud(cloud, origin)

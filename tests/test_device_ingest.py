@@ -39,8 +39,13 @@ def _voxels(m):
     return out
 
 
+@pytest.mark.parametrize("seed", [0, 5])
 @pytest.mark.parametrize("cls,cfg,fields", FAMILIES)
-def test_device_ingest_matches_host(rng, cls, cfg, fields):
+def test_device_ingest_matches_host(cls, cfg, fields, seed):
+    # own rng (not the shared fixture): the scan geometry is part of the
+    # test's contract — seed 5 historically produced a voxel full of sensor
+    # origins on a block face, which caught uncompensated f32 centroids
+    rng = np.random.default_rng(seed)
     host_map = cls(dataclasses.replace(cfg, device_ingest="off"))
     dev_map = cls(dataclasses.replace(cfg, device_ingest="on"))
 

@@ -2,9 +2,12 @@
 CPU mesh, no TPU hardware required).
 
 Spawns 2 worker processes (2 virtual CPU devices each → a 4-device global
-mesh), runs the production scan path on sharded BGK **and** BGKLV maps
+mesh), runs the production scan path on sharded maps of ALL FOUR families
 with replicated scan ingestion, and compares the full per-voxel posterior
-state against single-process maps on the identical stream.
+state against single-process maps on the identical stream.  BGK/BGKL/BGKLV
+compare exactly per field; GP compares in posterior (probability/variance)
+space — its BCM information-form update amplifies f32 reduction-order
+drift without bound (see tests/test_sharded.py:44-54).
 """
 
 import os
@@ -51,11 +54,15 @@ def test_two_process_sharded_matches_single(tmp_path):
     # single-process references on the identical stream, same tiny pads
     import multihost_worker as w
     from la3dm_tpu.models.bgk import BGKOctoMap
+    from la3dm_tpu.models.bgkl import BGKLOctoMap
     from la3dm_tpu.models.bgklv import BGKLVOctoMap
+    from la3dm_tpu.models.gp import GPOctoMap
 
     w.seed_tiny_pads()
     for cls, cfg, name in [(BGKOctoMap, w.BGK_CFG, "bgk"),
-                           (BGKLVOctoMap, w.LV_CFG, "bgklv")]:
+                           (BGKLOctoMap, w.BGKL_CFG, "bgkl"),
+                           (BGKLVOctoMap, w.LV_CFG, "bgklv"),
+                           (GPOctoMap, w.GP_CFG, "gp")]:
         m = cls(cfg)
         for cloud, origin in w.scan_stream():
             m.insert_pointcloud(cloud, origin)
@@ -66,6 +73,16 @@ def test_two_process_sharded_matches_single(tmp_path):
         want = _load_state(ref_path)
         assert got["coords"].shape == want["coords"].shape, name
         np.testing.assert_array_equal(got["coords"], want["coords"], err_msg=name)
+        if name == "gp":
+            ivar0 = 1.0 / cfg.min_var
+            p_got = 1.0 / (1.0 + np.exp(-cfg.l * got["field_m_ivar"] / ivar0))
+            p_want = 1.0 / (1.0 + np.exp(-cfg.l * want["field_m_ivar"] / ivar0))
+            np.testing.assert_allclose(p_got, p_want, atol=1e-3,
+                                       err_msg="gp per-voxel probability")
+            np.testing.assert_allclose(
+                1.0 / got["field_ivar"], 1.0 / want["field_ivar"],
+                atol=1e-3, rtol=1e-3, err_msg="gp per-voxel variance")
+            continue
         for k in want:
             if k == "coords":
                 continue
