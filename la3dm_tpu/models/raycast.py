@@ -88,24 +88,75 @@ def raycast(m, origins: np.ndarray, directions: np.ndarray, max_range: float,
             "distance": dist.astype(np.float32), "steps": steps}
 
 
+#: multiplicative hash constants (odd, int32 wrap on host and device alike)
+_HC1 = np.int32(-1640531527)   # 2654435769 = 2^32/φ
+_HC2 = np.int32(-862048943)    # 3432918353
+
+#: bias matching geo.pack_key / the reference BlockHashKey (bgkblock.cpp:73-77)
+_KB = 524288
+
+
+def _split_keys(coords):
+    """Block coords → two int32 keys (30 bits each; hi ≥ 0, −1 = empty)."""
+    c = np.asarray(coords, np.int64) + _KB
+    hi = ((c[..., 0] << 10) | (c[..., 1] >> 10)).astype(np.int32)
+    lo = (((c[..., 1] & 1023) << 20) | c[..., 2]).astype(np.int32)
+    return hi, lo
+
+
+def _build_block_hash(coords: np.ndarray, slots: np.ndarray, cap: int):
+    """Open-addressing (linear probe) block-coord → slot table, host-built.
+
+    Sized at ≤50% load; returns (tab_hi, tab_lo, tab_slot, H, max_probes).
+    Replaces the dense bbox grid: memory is O(active blocks) regardless of
+    map extent, so a long diagonal trajectory cannot blow it up.
+    """
+    nb = len(coords)
+    H = max(64, 1 << int(np.ceil(np.log2(max(2 * nb, 2)))))
+    tab_hi = np.full(H, -1, np.int32)
+    tab_lo = np.zeros(H, np.int32)
+    tab_slot = np.full(H, cap, np.int32)
+    hi, lo = _split_keys(coords)
+    probe = ((hi * _HC1) ^ (lo * _HC2)) & np.int32(H - 1)
+    remaining = np.arange(nb)
+    max_probes = 0
+    while len(remaining):
+        max_probes += 1
+        p = probe[remaining]
+        order = np.argsort(p, kind="stable")
+        first = np.concatenate([[True], p[order][1:] != p[order][:-1]])
+        cand_rows = order[first]
+        free = tab_hi[p[cand_rows]] == -1
+        w = remaining[cand_rows[free]]
+        tab_hi[probe[w]] = hi[w]
+        tab_lo[probe[w]] = lo[w]
+        tab_slot[probe[w]] = slots[w]
+        placed = np.zeros(len(remaining), bool)
+        placed[cand_rows[free]] = True
+        remaining = remaining[~placed]
+        probe[remaining] = (probe[remaining] + 1) & np.int32(H - 1)
+    return tab_hi, tab_lo, tab_slot, H, max(max_probes, 1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("res", "bs", "n", "max_steps", "target", "max_range"))
-def _raycast_loop(state_tab, slot_grid, grid_lo, origins, d,
+    static_argnames=("res", "bs", "n", "max_steps", "target", "max_range",
+                     "max_probes"))
+def _raycast_loop(state_tab, tab_hi, tab_lo, tab_slot, origins, d,
                   res: float, bs: float, n: int, max_steps: int,
-                  target: int, max_range: float):
+                  target: int, max_range: float, max_probes: int):
     """One-dispatch Amanatides-Woo over the device-resident state tables.
 
-    state_tab [cap+1, V] int8 (last row = UNKNOWN guard); slot_grid
-    [ex, ey, ez] int32 block coord → pool slot (cap ⇒ absent), offset by
-    grid_lo [3].  Semantics match :func:`raycast` (same voxel/block math as
-    ``search``: nearest-block hashing + trunc local index).
+    state_tab [cap+1, V] int8 (last row = UNKNOWN guard); tab_* [H] an
+    open-addressing block-coord → pool-slot hash (hi == −1 ⇒ empty, slot ==
+    cap ⇒ absent).  Semantics match :func:`raycast` (same voxel/block math
+    as ``search``: nearest-block hashing + trunc local index).
     """
     N = origins.shape[0]
     resf = jnp.float32(res)
     half_n = jnp.float32(n) / 2.0
     cap = state_tab.shape[0] - 1
-    ext = jnp.asarray(slot_grid.shape, jnp.int32)
+    H = tab_hi.shape[0]
 
     idx0 = jnp.floor(origins / resf + 0.5).astype(jnp.int32)
     step = jnp.where(d > 0, 1, -1).astype(jnp.int32)
@@ -118,11 +169,17 @@ def _raycast_loop(state_tab, slot_grid, grid_lo, origins, d,
     def state_at(idx):
         p = idx.astype(jnp.float32) * resf                        # voxel center
         blk = jnp.floor(p / jnp.float32(bs) + 0.5).astype(jnp.int32)
-        g = blk - grid_lo[None, :]
-        inside = jnp.all((g >= 0) & (g < ext[None, :]), axis=-1)
-        gc = jnp.clip(g, 0, ext[None, :] - 1)
-        slot = slot_grid[gc[:, 0], gc[:, 1], gc[:, 2]]
-        slot = jnp.where(inside, slot, cap)
+        c32 = blk + jnp.int32(_KB)
+        hi = (c32[:, 0] << 10) | (c32[:, 1] >> 10)
+        lo = ((c32[:, 1] & 1023) << 20) | c32[:, 2]
+        h = ((hi * _HC1) ^ (lo * _HC2)) & jnp.int32(H - 1)
+        slot = jnp.full((N,), cap, jnp.int32)
+        done = jnp.zeros((N,), bool)
+        for j in range(max_probes):                 # static, short (≤~8)
+            pos = (h + j) & jnp.int32(H - 1)
+            match = (tab_hi[pos] == hi) & (tab_lo[pos] == lo)
+            slot = jnp.where(~done & match, tab_slot[pos], slot)
+            done = done | match | (tab_hi[pos] == -1)
         # local index via the same f32 expression as search() →
         # point_to_voxel_index: trunc((p − center)/res + n/2), center in f32
         c = blk.astype(jnp.float32) * jnp.float32(bs)
@@ -158,45 +215,67 @@ def _raycast_loop(state_tab, slot_grid, grid_lo, origins, d,
     return hit, dist, steps
 
 
+class RaycastSnapshot:
+    """Device-resident map snapshot for repeated raycast queries.
+
+    Holds the int8 posterior state table ([cap+1, V]) and the hashed
+    block-coord → slot table.  Build once (``raycast_snapshot``), query many
+    times — a query-heavy consumer (frontier sweeps, visibility checks) pays
+    the state materialization once per map version instead of per call.
+    """
+
+    def __init__(self, m):
+        nb = m.pool.n_blocks
+        cap = m.pool.capacity
+        if nb:
+            slots = m.pool.active_slots()
+            coords = m.pool.coords[slots]
+        else:
+            slots = np.zeros(1, np.int32)
+            coords = np.full((1, 3), 1 << 19, np.int64)  # out-of-map sentinel
+        hi, lo, sl, H, maxp = _build_block_hash(coords, slots, cap)
+        self.tab_hi = jnp.asarray(hi)
+        self.tab_lo = jnp.asarray(lo)
+        self.tab_slot = jnp.asarray(sl)
+        # round the probe bound so snapshot rebuilds reuse the executable
+        self.max_probes = max(4, 1 << int(np.ceil(np.log2(maxp))))
+        vals = {k: v for k, v in m.pool.fields.items()}
+        vals["touched"] = m.pool.touched
+        st = m._state_fn(vals)                            # [cap, V] int8
+        self.state_tab = jnp.concatenate(
+            [st, jnp.full((1, st.shape[1]), posterior.UNKNOWN, jnp.int8)])
+        self.res = float(m.cfg.resolution)
+        self.bs = float(m.block_size)
+        self.n = int(m.n)
+
+
+def raycast_snapshot(m) -> RaycastSnapshot:
+    return RaycastSnapshot(m)
+
+
 def raycast_device(m, origins: np.ndarray, directions: np.ndarray,
                    max_range: float,
-                   target_state: int = posterior.OCCUPIED) -> dict:
+                   target_state: int = posterior.OCCUPIED,
+                   snapshot: RaycastSnapshot | None = None) -> dict:
     """Device-side batched DDA (same contract as :func:`raycast`).
 
-    Builds a per-call snapshot: the map's int8 state table ([cap+1, V], the
-    family's posterior state fn applied on device) and a dense block-coord →
-    slot grid over the active blocks' bbox, then runs the whole traversal in
+    The map snapshot (int8 state table + hashed block→slot table, both
+    O(active blocks) — no dense bbox grid) is built per call unless the
+    caller passes a reusable ``snapshot``; the whole traversal then runs in
     one jitted dispatch.
     """
-    res = m.cfg.resolution
     origins = np.atleast_2d(origins).astype(np.float32)
     d = np.atleast_2d(directions).astype(np.float64)
     d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
 
-    nb = m.pool.n_blocks
-    cap = m.pool.capacity
-    coords = m.pool.coords[m.pool.active_slots()] if nb else np.zeros((1, 3), np.int64)
-    lo = coords.min(0)
-    ext = (coords.max(0) - lo + 1).astype(np.int64)
-    slot_grid = np.full(tuple(ext), cap, np.int32)
-    if nb:
-        slots = m.pool.active_slots()
-        g = m.pool.coords[slots] - lo
-        slot_grid[g[:, 0], g[:, 1], g[:, 2]] = slots
-
-    vals = {k: v for k, v in m.pool.fields.items()}
-    vals["touched"] = m.pool.touched
-    st = m._state_fn(vals)                                        # [cap, V] int8
-    state_tab = jnp.concatenate(
-        [st, jnp.full((1, st.shape[1]), posterior.UNKNOWN, jnp.int8)])
-
-    max_steps = int(np.ceil(max_range / res) * 3 + 8)
+    s = snapshot if snapshot is not None else RaycastSnapshot(m)
+    max_steps = int(np.ceil(max_range / s.res) * 3 + 8)
     hit, dist, steps = _raycast_loop(
-        state_tab, jnp.asarray(slot_grid), jnp.asarray(lo.astype(np.int32)),
+        s.state_tab, s.tab_hi, s.tab_lo, s.tab_slot,
         jnp.asarray(origins), jnp.asarray(d),
-        res=float(res), bs=float(m.block_size), n=int(m.n),
+        res=s.res, bs=s.bs, n=s.n,
         max_steps=max_steps, target=int(target_state),
-        max_range=float(max_range))
+        max_range=float(max_range), max_probes=s.max_probes)
     hit = np.asarray(hit)
     dist = np.asarray(dist)
     point = origins + d * np.minimum(dist, max_range)[:, None]

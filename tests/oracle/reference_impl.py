@@ -235,8 +235,21 @@ class OracleMapBase:
         return (np.array(coord, np.float64) * f32(self.bs)).astype(f32)
 
     def extended(self, coord):
-        """ExtendedBlock order: self, +x, −x, +y, −y, +z, −z (bgkblock.cpp:114-130)."""
-        offs = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+        """ExtendedBlock order: self, +x, −x, +y, −y, +z, −z (bgkblock.cpp:114-130).
+
+        With ``predict: true`` (-DPREDICT, bgkblock.h:22-26) the 27-cell
+        ExtendedBlock27 is used instead — self first, then the remaining 26
+        offsets in (dx, dy, dz) loop order, matching
+        ``geometry.blocks.full_neighbor_offsets``.
+        """
+        if getattr(self.cfg, "predict", False):
+            offs = [(0, 0, 0)] + [
+                (dx, dy, dz)
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+                if (dx, dy, dz) != (0, 0, 0)]
+        else:
+            offs = [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                    (0, 0, 1), (0, 0, -1)]
         return [tuple(np.add(coord, o)) for o in offs]
 
     def get_block(self, coord):

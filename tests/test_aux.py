@@ -215,6 +215,47 @@ def test_raycast_device_matches_host():
                                atol=2 * m.cfg.resolution)
 
 
+def test_raycast_device_long_diagonal_map():
+    """A trajectory-shaped map: active blocks along a long space diagonal.
+
+    The old dense bbox grid would allocate extent³ cells for a map like
+    this (VERDICT r03 weak #5); the hashed block table is O(active blocks),
+    and queries must still resolve block membership exactly.
+    """
+    from la3dm_tpu.models.bgk import BGKOctoMap
+    from tests.test_bgk_vs_oracle import CFG
+
+    m = BGKOctoMap(CFG)
+    bs = m.block_size
+    # occupied walls every 40 blocks along the diagonal, ~160 blocks apart
+    # in bbox volume terms (bbox ≈ 161³ blocks ≈ 4M cells vs ~41 active)
+    for k in range(0, 161, 40):
+        c = np.float32(k * bs)
+        pts = np.stack([np.full(25, c + 0.18),
+                        c + np.tile(np.linspace(-0.15, 0.15, 5), 5),
+                        c + np.repeat(np.linspace(-0.15, 0.15, 5), 5)],
+                       axis=1).astype(np.float32)
+        m.insert_training_data(pts, np.ones(len(pts), np.float32))
+    snap = raycast.raycast_snapshot(m)
+    assert snap.tab_hi.shape[0] < 4096  # O(blocks), not O(bbox volume)
+
+    origins = np.array([[k * bs - 0.6] * 3 for k in range(0, 161, 40)],
+                       np.float32)
+    dirs = np.tile(np.float32([1, 1, 1]) / np.sqrt(3), (len(origins), 1))
+    dev = raycast.raycast_device(m, origins, dirs, max_range=2.0,
+                                 snapshot=snap)
+    host = raycast.raycast(m, origins, dirs, max_range=2.0)
+    np.testing.assert_array_equal(dev["hit"], host["hit"])
+    assert dev["hit"].all()
+    both = dev["hit"]
+    np.testing.assert_allclose(dev["distance"][both], host["distance"][both],
+                               atol=2 * m.cfg.resolution)
+    # snapshot reuse: second query, no rebuild
+    dev2 = raycast.raycast_device(m, origins, -dirs, max_range=2.0,
+                                  snapshot=snap)
+    assert not dev2["hit"].any()
+
+
 def test_frontier_query():
     """The reference's commented-out frontier demo
     (bgkloctomap_static_node.cpp:102-115): leaves with high variance and low
