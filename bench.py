@@ -55,6 +55,15 @@ STEADY_BUDGET_S = 120  # stop adding steady runs past this cumulative wall
 # segment kernel adds the point-to-segment projection (~45).  LV adds the
 # per-(voxel,ray) interval-membership test (~35).  GP's count includes the
 # per-block Cholesky/solve terms in its kernel_evals accounting (gp.py).
+#
+# MEASURED ANCHOR (tools/mfu_anchor.py, v5e, 2026-08-20): for bgk long60 on
+# the device-ingest path the jax.profiler trace (Σ per-op Model GFLOP/s ×
+# self time) reports 19.1 GF against this hand count's 8.5 GF — ratio 2.25.
+# The delta is real work the hand count deliberately excludes: the aligned
+# engine's ~1.9× row padding (W=8 alignment + dead-table slices) and the
+# on-device ingestion pipeline (sorts/scans/matmul lookups).  So the
+# hand-counted MFU below UNDERSTATES device utilization by ~2×; it is kept
+# as the conservative, workload-meaningful number (useful FLOPs only).
 FLOP_PER_EVAL = {"bgk": 50, "bgkl": 95, "bgklv": 130, "gp": 60}
 # dense f32 peak per chip for the MFU denominator (TPU v5 lite ≈ 197
 # TFLOP/s bf16; f32 ≈ half).  An order-of-magnitude anchor, not a claim.
@@ -63,6 +72,11 @@ PEAK_F32_DEFAULT = 98.5e12
 
 DENSE_DIR = "/tmp/la3dm_dense960"
 DENSE_N = 960  # sized so BGK (the cheapest method) runs ≥2 s device-visible
+
+LM_DIR = "/tmp/la3dm_largemap540"
+LM_TILES = 3       # 3×3 spatial tiling of the long-term environment
+LM_SPACING = 24.0  # m between tile origins (> 2·max_range: tiles independent)
+LM_N = 60 * LM_TILES * LM_TILES
 
 
 def make_dense_dataset():
@@ -84,6 +98,33 @@ def make_dense_dataset():
         rng = np.random.default_rng(i)
         pts = cloud + rng.normal(0.0, 0.02, cloud.shape).astype(np.float32)
         save_pcd(os.path.join(DENSE_DIR, f"dense960_{i}.pcd"), pts, origin)
+    open(marker, "w").close()
+
+
+def make_largemap_dataset():
+    """540 scans: the 60 long-term scans replicated on a 3×3 spatial grid
+    (24 m apart, so tiles are independent) — the large-map scale workload:
+    thousands of active blocks, pool growth, hundreds of MB of map state at
+    block_depth 6 (V=32³)."""
+    sys.path.insert(0, REPO)
+    import numpy as np
+    from la3dm_tpu.io.pcd import load_pcd, save_pcd
+
+    marker = os.path.join(LM_DIR, ".complete")
+    if os.path.exists(marker):
+        return
+    os.makedirs(LM_DIR, exist_ok=True)
+    src = f"{REF_DATA}/sim_structured_long_term"
+    i = 0
+    for ty in range(LM_TILES):
+        for tx in range(LM_TILES):
+            off = np.array([tx * LM_SPACING, ty * LM_SPACING, 0.0], np.float32)
+            for j in range(1, 61):
+                cloud, origin = load_pcd(
+                    f"{src}/sim_structured_long_term_{j}.pcd")
+                i += 1
+                save_pcd(os.path.join(LM_DIR, f"largemap540_{i}.pcd"),
+                         cloud + off, origin + off)
     open(marker, "w").close()
 
 
@@ -149,6 +190,10 @@ CONFIGS = [
     # 6 ⇒ V=32768).  No C++ ratio: the stand-ins run the demo configs.
     {"key": "bgklv_large_map_depth6", "method": "bgklvoctomap_large_map",
      "dataset": "sim_structured", "baseline": None},
+    # large-map AT SCALE (VERDICT r03 ask #4): 540 spatially-tiled scans,
+    # thousands of active depth-6 blocks, pool growth on device, peak HBM
+    {"key": "bgklv_large_map_depth6_540", "method": "bgklvoctomap_large_map",
+     "dataset": "@largemap540", "baseline": None, "runs": 1},
 ]
 FALLBACK = {"bgk": 71.1, "bgkl": 5.3, "bgklv": 0.81, "gp": 13.4}
 
@@ -160,6 +205,10 @@ def _dataset(name: str, scan_num):
         make_dense_dataset()
         ds = DatasetConfig(name="dense960", dir=DENSE_DIR, prefix="dense960",
                            scan_num=DENSE_N, max_range=8.0)
+    elif name == "@largemap540":
+        make_largemap_dataset()
+        ds = DatasetConfig(name="largemap540", dir=LM_DIR,
+                           prefix="largemap540", scan_num=LM_N, max_range=8.0)
     else:
         ds = load_dataset_config(name)
     if scan_num:
@@ -267,7 +316,7 @@ def run_one(spec: dict) -> dict:
     warm_s = time.time() - t0
     runs = []                           # steady state, fresh map each time
     t0 = time.time()
-    for _ in range(STEADY_RUNS):
+    for _ in range(spec.get("runs", STEADY_RUNS)):
         runs.append(run_static(cfg, ds))
         if time.time() - t0 > STEADY_BUDGET_S:
             break
@@ -301,7 +350,14 @@ def run_one(spec: dict) -> dict:
         "est_gflops_per_s": round(flops / max(device_s, 1e-9) / 1e9, 1),
         "mfu_pct": round(100.0 * flops / max(device_s, 1e-9) / peak, 3),
         "map_state_bytes": state_bytes,
+        "active_blocks": int(pool.n_blocks),
     }
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in ms:
+            out["peak_hbm_bytes"] = int(ms["peak_bytes_in_use"])
+    except Exception:
+        pass
     if spec.get("online"):
         # single-scan latency, device barrier per scan (server regime);
         # first scan compiles the K=1 executable — measured separately

@@ -363,8 +363,12 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
         # their block pads) in a prefix, so the engine only consumes a
         # monotone-padded slice of the static [M]-sized tables
         live_rows = -(-int(cts[:, 6].max(initial=0)) // Wa)
+        # seeded to the measured cover of the bundled workloads (demo,
+        # long-term, dense-jitter) so every chunk lands on ONE executable
+        # and fresh processes hit the persistent compile cache
         pad = _GLOBAL_PADS.setdefault(
-            ("ingest", type(self).__name__, cfg, K_pad), {"R2": _CHUNK * 4})
+            ("ingest", type(self).__name__, cfg, K_pad),
+            {"R2": 8192 if self.SEGMENTS else 2048})
         pad["R2"] = max(pad["R2"],
                         base.round_up(max(live_rows, _CHUNK), _CHUNK))
         R2p = min(pad["R2"], spec.R2)

@@ -386,7 +386,10 @@ class GPOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
             if len(sel) == 0:
                 continue
             chunk = _chunk_for(S)
-            tp = pad["tiers"].setdefault(S, {"M": chunk})
+            # base-tier seed covers the bundled workloads' model counts so
+            # fresh processes land on one cached executable
+            tp = pad["tiers"].setdefault(
+                S, {"M": 2048 if S == _TIER0 else chunk})
             tp["M"] = max(tp["M"], base.round_up(max(len(sel), chunk), chunk))
             sel_p = np.full(tp["M"], -1, np.int32)
             sel_p[:len(sel)] = sel
