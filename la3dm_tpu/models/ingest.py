@@ -37,13 +37,29 @@ class DeviceIngestMixin:
             return False
         return jax.default_backend() == "tpu"
 
+    #: hard caps for the monotone spec-dim ladder; a chunk that still
+    #: overflows at these goes to the bit-exact host path (the [Bu·G, T]
+    #: lookup matmuls grow quadratically past this)
+    _DIM_CAPS = {"Pf": 32768, "Bu": 2048, "T": 2048, "Rmax": 256}
+
+    def _ingest_dims(self) -> dict:
+        key = ("ingest_dims", type(self).__name__, self.cfg)
+        return device_ingest._SPEC_PADS.setdefault(key, {})
+
     def _ingest_spec(self, ds: float, fr: float, mr: float,
                      max_pts: int) -> device_ingest.IngestSpec | None:
-        key = ("ingest_P", type(self).__name__, self.cfg)
-        cache = device_ingest._SPEC_PADS
-        P = max(cache.get(key, 4096), 1 << int(np.ceil(np.log2(max(max_pts, 1)))))
-        cache[key] = P
-        return device_ingest.spec_for(self.cfg, ds, fr, mr, P)
+        import dataclasses
+
+        dims = self._ingest_dims()
+        P = max(dims.get("P", 4096),
+                1 << int(np.ceil(np.log2(max(max_pts, 1)))))
+        dims["P"] = P
+        spec = device_ingest.spec_for(self.cfg, ds, fr, mr, P)
+        if spec is None:
+            return None
+        grown = {k: max(getattr(spec, k), dims[k])
+                 for k in ("Pf", "Bu", "T", "Rmax") if k in dims}
+        return dataclasses.replace(spec, **grown) if grown else spec
 
     @property
     def _off_keys_dev(self):
@@ -121,12 +137,37 @@ class DeviceIngestMixin:
         t0 = time.perf_counter()
         # [K,7]: hit_vox, free_vox, mem, ublk, test, ray uniques, aligned len
         cts = fetched["counts"]
-        if (cts[:, 1].max(initial=0) > spec.Pf
-                or cts[:, 3].max(initial=0) > spec.Bu
-                or cts[:, 4].max(initial=0) > spec.T
-                or (spec.segments and cts[:, 5].max(initial=0) > spec.Rmax)):
-            # static pads overflowed — bit-exact host path for this chunk
+        over = {"Pf": int(cts[:, 1].max(initial=0)),
+                "Bu": int(cts[:, 3].max(initial=0)),
+                "T": int(cts[:, 4].max(initial=0))}
+        if spec.segments:
+            over["Rmax"] = int(cts[:, 5].max(initial=0))
+        if any(v > getattr(spec, k) for k, v in over.items()):
+            # static pads overflowed: grow the monotone dim ladder and retry
+            # this chunk on device (one new executable, cached persistently);
+            # past the hard caps, the bit-exact host path takes the chunk
             self.stats["host_s"] += time.perf_counter() - t0
+            dims = self._ingest_dims()
+            fits = True
+            for k, v in over.items():
+                if v > getattr(spec, k):
+                    grown = 1 << int(np.ceil(np.log2(max(v, 2))))
+                    if grown > self._DIM_CAPS[k]:
+                        fits = False
+                        break
+                    dims[k] = max(dims.get(k, 0), grown)
+            # counts measured under a too-small spec can themselves be
+            # truncated (e.g. n_test only sees the first Bu unique blocks),
+            # so growth may cascade — allow a few rounds before giving up
+            if fits and rec.get("retries", 0) < 4:
+                newspec = self._ingest_spec(
+                    ds, fr, mr, max(len(c) for c in rec["clouds"]))
+                if newspec is not None:
+                    rec2 = self._ingest_dispatch(rec["clouds"],
+                                                 rec["origins"], newspec)
+                    rec2["retries"] = rec.get("retries", 0) + 1
+                    self._ingest_finish(rec2, ds, fr, mr, newspec)
+                    return
             self._ingest_overflow_fallback(rec["clouds"], rec["origins"],
                                            ds, fr, mr)
             return

@@ -94,6 +94,38 @@ def test_device_ingest_single_scan_entry_point(rng, cls, cfg):
                                        atol=1e-4, rtol=1e-4, err_msg=f"{c} {k}")
 
 
+def test_device_ingest_overflow_grows_spec_and_retries(rng, monkeypatch):
+    """A chunk whose tables overflow the static pads must grow the monotone
+    spec-dim ladder and retry ON DEVICE (sim_structured's densest scans
+    exceed T=1024 test blocks — r04 bench regression), not silently fall
+    back to the host path."""
+    from la3dm_tpu.geometry import device_ingest
+
+    real_spec_for = device_ingest.spec_for
+
+    def tiny_spec_for(cfg, ds, fr, mr, P):
+        s = real_spec_for(cfg, ds, fr, mr, P)
+        return dataclasses.replace(s, T=64, Bu=64) if s else None
+
+    monkeypatch.setattr(device_ingest, "spec_for", tiny_spec_for)
+    host_map = BGKOctoMap(dataclasses.replace(CFG, device_ingest="off"))
+    dev_map = BGKOctoMap(dataclasses.replace(CFG, device_ingest="on"))
+    fallbacks = []
+    dev_map._ingest_overflow_fallback = lambda *a: fallbacks.append(a)
+    cloud, origin = synthetic_scan(rng, n=90)
+    host_map.insert_pointcloud(cloud, origin, max_range=MAX_RANGE)
+    dev_map.insert_pointcloud(cloud, origin, max_range=MAX_RANGE)
+    assert not fallbacks, "overflow must retry on device, not fall back"
+    dims = dev_map._ingest_dims()
+    assert dims.get("T", 0) > 64 or dims.get("Bu", 0) > 64
+    vh, vd = _voxels(host_map), _voxels(dev_map)
+    assert set(vh) == set(vd)
+    for c in vh:
+        for k in vh[c][0]:
+            np.testing.assert_allclose(vh[c][0][k], vd[c][0][k],
+                                       atol=1e-4, rtol=1e-4, err_msg=f"{c} {k}")
+
+
 def test_device_ingest_unbounded_config_falls_back(rng):
     """max_range ≤ 0 cannot be statically bounded → host path, not a crash."""
     m = BGKOctoMap(dataclasses.replace(CFG, device_ingest="on"))
