@@ -79,8 +79,9 @@ def test_device_ingest_matches_host(cls, cfg, fields, seed):
 
 
 @pytest.mark.parametrize("cls,cfg", [(BGKOctoMap, CFG), (BGKLOctoMap, BGKL_CFG)])
-def test_device_ingest_single_scan_entry_point(rng, cls, cfg):
+def test_device_ingest_single_scan_entry_point(cls, cfg):
     """insert_pointcloud (server regime, K=1) goes through the same path."""
+    rng = np.random.default_rng(7)
     host_map = cls(dataclasses.replace(cfg, device_ingest="off"))
     dev_map = cls(dataclasses.replace(cfg, device_ingest="on"))
     cloud, origin = synthetic_scan(rng, n=60)
@@ -94,11 +95,12 @@ def test_device_ingest_single_scan_entry_point(rng, cls, cfg):
                                        atol=1e-4, rtol=1e-4, err_msg=f"{c} {k}")
 
 
-def test_device_ingest_overflow_grows_spec_and_retries(rng, monkeypatch):
+def test_device_ingest_overflow_grows_spec_and_retries(monkeypatch):
     """A chunk whose tables overflow the static pads must grow the monotone
     spec-dim ladder and retry ON DEVICE (sim_structured's densest scans
     exceed T=1024 test blocks — r04 bench regression), not silently fall
     back to the host path."""
+    rng = np.random.default_rng(7)
     from la3dm_tpu.geometry import device_ingest
 
     real_spec_for = device_ingest.spec_for
@@ -126,8 +128,9 @@ def test_device_ingest_overflow_grows_spec_and_retries(rng, monkeypatch):
                                        atol=1e-4, rtol=1e-4, err_msg=f"{c} {k}")
 
 
-def test_device_ingest_unbounded_config_falls_back(rng):
+def test_device_ingest_unbounded_config_falls_back():
     """max_range ≤ 0 cannot be statically bounded → host path, not a crash."""
+    rng = np.random.default_rng(7)
     m = BGKOctoMap(dataclasses.replace(CFG, device_ingest="on"))
     cloud, origin = synthetic_scan(rng, n=40)
     m.insert_pointcloud(cloud, origin)  # cfg.max_range defaults to -1
