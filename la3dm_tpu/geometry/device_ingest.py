@@ -357,11 +357,30 @@ def _bucket_align(mkey: jax.Array, payloads: tuple, spec: IngestSpec,
             "n_align": n_align}
 
 
+def _outlier_mask(cloud: jax.Array, origin: jax.Array,
+                  spec: IngestSpec) -> jax.Array:
+    """Raw points that can possibly survive the max-range filter.
+
+    The 1024-cell downsample window is anchored at the masked cloud's min
+    corner; a single far outlier return (hundreds of meters out) would
+    otherwise drag the anchor away and clip every real point to the window
+    edge — silently merging the scan into one garbage voxel (advisor r4).
+    Masking |p − origin| > mr + √3·ds is semantics-preserving: such a point
+    lies in a ds-voxel whose every point (hence its centroid, a convex
+    combination) is > mr from the origin, so the voxel's centroid fails the
+    max-range filter on the host path too.
+    """
+    d2 = jnp.sum((cloud - origin[None, :]) ** 2, axis=-1)
+    lim = jnp.float32((spec.mr + np.sqrt(3.0) * spec.ds) ** 2)
+    return d2 <= lim
+
+
 def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
                  spec: IngestSpec, off_keys: jax.Array) -> dict:
     """One scan's full point-family pipeline (fixed shapes; module docstring)."""
     P, Pf, Kf = spec.P, spec.Pf, spec.Kf
-    valid_in = jnp.arange(P, dtype=jnp.int32) < npts
+    valid_in = (jnp.arange(P, dtype=jnp.int32) < npts) \
+        & _outlier_mask(cloud, origin, spec)
 
     # 1. hits: downsample at the ds leaf (bgkoctomap.cpp:419-431)
     hits, hit_ok, n_hit_vox = _downsample(cloud, valid_in, spec.ds, P)
@@ -455,7 +474,8 @@ def _ingest_scan_bgkl(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     """
     P, Kf, Rmax = spec.P, spec.Kf, spec.Rmax
 
-    valid_in = jnp.arange(P, dtype=jnp.int32) < npts
+    valid_in = (jnp.arange(P, dtype=jnp.int32) < npts) \
+        & _outlier_mask(cloud, origin, spec)
     hits_ds, hit_ok, n_hit_vox = _downsample(cloud, valid_in, spec.ds, P)
 
     # range filter + f32 recompute of the endpoint (bgkloctomap.cpp:316)

@@ -44,6 +44,23 @@ def _prune_step(fields, touched, eff, slots, state_fn, n, max_level):
     return fields, touched, eff
 
 
+@jax.jit
+def _gather_point_vals(arr, slots, vidx):
+    """Device-side per-point gather: ``arr[slots, vidx]`` with clamped slots.
+
+    The query path fetches only the [N]-sized result — never the full
+    [capacity, V] pool field (335 MB per field at depth-6/540-scan scale).
+    """
+    safe = jnp.clip(slots, 0, arr.shape[0] - 1)
+    return arr[safe, vidx]
+
+
+@jax.jit
+def _gather_slot_rows(arr, slots):
+    """Device-side block-row gather: ``arr[slots]`` with clamped slots."""
+    return arr[jnp.minimum(slots, arr.shape[0] - 1)]
+
+
 class State(enum.IntEnum):
     """Mirrors the reference State enum (+UNCERTAIN from the LV family)."""
 
@@ -168,8 +185,17 @@ class OccupancyMapBase:
         self._state_fn = self._make_state_fn()
         #: perf counters (kernel_evals = training-entry × voxel pairs
         #: evaluated; host_s = wall time in host preprocessing/table building,
-        #: i.e. everything before each device dispatch)
-        self.stats = {"kernel_evals": 0, "scans": 0, "host_s": 0.0}
+        #: i.e. everything before each device dispatch; query_fetch_bytes =
+        #: device→host bytes materialized by search()/leaves() — the query
+        #: paths gather on device and fetch O(result), never O(map))
+        self.stats = {"kernel_evals": 0, "scans": 0, "host_s": 0.0,
+                      "query_fetch_bytes": 0}
+
+    def _fetch(self, arr) -> np.ndarray:
+        """Materialize a device array on host, accounting the bytes."""
+        out = np.asarray(arr)
+        self.stats["query_fetch_bytes"] += out.nbytes
+        return out
 
     def _make_state_fn(self):
         raise NotImplementedError
@@ -205,7 +231,7 @@ class OccupancyMapBase:
         Matches ``Block::get_point`` = key_loc offset + block center
         (bgkblock.cpp:137-139), at each voxel's owning-leaf level.
         """
-        eff = np.asarray(self.pool.eff_level)[slots]  # [B, V]
+        eff = self._gather_rows(self.pool.eff_level, slots)  # [B, V]
         table = np.asarray(self._level_offsets)       # [L, V, 3]
         off = np.take_along_axis(table[None], eff[:, None, :, None].astype(np.int64), axis=1)[:, 0]
         centers = self.block_centers(self.pool.coords[slots])
@@ -213,24 +239,44 @@ class OccupancyMapBase:
 
     # -- queries ----------------------------------------------------------
 
+    def _gather_rows(self, arr, slots: np.ndarray) -> np.ndarray:
+        """Fetch ``arr[slots]`` via a device-side gather: O(len(slots)·V)
+        transferred, never the full [capacity, V] pool field.  Slots are
+        padded to a power of two so the jitted gather compiles once per
+        (capacity, pad) bucket, not per call."""
+        B = len(slots)
+        Bpad = next_pow2(max(B, 32))
+        sl = np.full(Bpad, self.pool.capacity, np.int32)
+        sl[:B] = slots
+        return self._fetch(_gather_slot_rows(arr, jnp.asarray(sl)))[:B]
+
     def search(self, points: np.ndarray) -> dict[str, np.ndarray]:
         """Vectorized ``search(point3f)`` (bgkoctomap.cpp:563-574).
 
         Returns per-point posterior fields + ``prob``, ``var``, ``state``;
         points in non-existent blocks report the default (prior) node.
+        The per-point values are gathered ON DEVICE and only the [N]-sized
+        results cross to the host (the pool fields can be hundreds of MB).
         """
         points = np.atleast_2d(np.asarray(points, dtype=np.float32))
         coords = geo.point_to_block_coord(points, self.block_size)
         slots = self.pool.lookup(coords)
         exists = slots >= 0
-        safe = np.where(exists, slots, 0)
         centers = self.block_centers(coords)
         vidx = geo.point_to_voxel_index(points, centers, self.cfg.resolution, self.n)
+        N = len(points)
+        Npad = next_pow2(max(N, 32))
+        sl = np.zeros(Npad, np.int32)
+        sl[:N] = np.where(exists, slots, 0)
+        vi = np.zeros(Npad, np.int32)
+        vi[:N] = vidx
+        sl_d, vi_d = jnp.asarray(sl), jnp.asarray(vi)
         out = {}
         for name, arr in self.pool.fields.items():
-            vals = np.asarray(arr)[safe, vidx]
+            vals = self._fetch(_gather_point_vals(arr, sl_d, vi_d))[:N]
             out[name] = np.where(exists, vals, np.float32(self.FIELD_FILLS[name]))
-        out["touched"] = np.where(exists, np.asarray(self.pool.touched)[safe, vidx], False)
+        tch = self._fetch(_gather_point_vals(self.pool.touched, sl_d, vi_d))[:N]
+        out["touched"] = np.where(exists, tch, False)
         post = self._posterior(out)
         post["touched"] = out["touched"]  # evidence flag alongside the posterior
         return post
@@ -262,9 +308,10 @@ class OccupancyMapBase:
             empty["state"] = np.zeros((0,), np.int8)
             return empty
         slots = self.pool.active_slots()
-        eff = np.asarray(self.pool.eff_level)[slots].astype(np.int64)  # [B,V]
-        fields = {k: np.asarray(v)[slots] for k, v in self.pool.fields.items()}
-        fields["touched"] = np.asarray(self.pool.touched)[slots]
+        eff = self._gather_rows(self.pool.eff_level, slots).astype(np.int64)
+        fields = {k: self._gather_rows(v, slots)
+                  for k, v in self.pool.fields.items()}
+        fields["touched"] = self._gather_rows(self.pool.touched, slots)
         post = self._posterior(fields)
 
         centers = self.block_centers(self.pool.coords[slots])  # [B,3]
@@ -309,12 +356,12 @@ class OccupancyMapBase:
         slots = self.pool.active_slots()
         data = {
             "coords": self.pool.coords[slots],
-            "touched": np.asarray(self.pool.touched)[slots],
-            "eff_level": np.asarray(self.pool.eff_level)[slots],
+            "touched": self._gather_rows(self.pool.touched, slots),
+            "eff_level": self._gather_rows(self.pool.eff_level, slots),
             "config": np.frombuffer(repr(self.cfg).encode(), dtype=np.uint8),
         }
         for k, v in self.pool.fields.items():
-            data[f"field_{k}"] = np.asarray(v)[slots]
+            data[f"field_{k}"] = self._gather_rows(v, slots)
         np.savez_compressed(path, **data)
 
     def load(self, path: str) -> None:

@@ -334,9 +334,10 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
     # ------------------------------------------------ device-side ingestion
 
     def _ingest_enabled(self) -> bool:
-        # the LV family keeps the host pipeline (its ray-shortening
-        # recurrence is sequential in the hits); BGK and BGKL ingest on TPU
-        return self.cfg.method in ("bgk", "bgkl", "gp") and super()._ingest_enabled()
+        # BGK and BGKL ingest on TPU through this class; GP gates itself via
+        # the mixin default (GPOctoMap does not inherit from BGKOctoMap), and
+        # the LV family runs its own ray-shortening ingest (models/bgklv.py)
+        return self.cfg.method in ("bgk", "bgkl") and super()._ingest_enabled()
 
     def _ingest_overflow_fallback(self, clouds, origins, ds, fr, mr) -> None:
         tables = []

@@ -97,10 +97,22 @@ class DeviceIngestMixin:
             pending.append(self._ingest_dispatch(
                 clouds[i:i + K], origins[i:i + K], spec))
             if len(pending) > LOOKAHEAD:
-                self._ingest_finish(pending.pop(0), ds, fr, mr, spec)
-        for rec in pending:
-            self._ingest_finish(rec, ds, fr, mr, spec)
+                self._finish_resynced(pending, ds, fr, mr)
+        while pending:
+            self._finish_resynced(pending, ds, fr, mr)
         return True
+
+    def _finish_resynced(self, pending: list, ds, fr, mr) -> None:
+        """Finish the oldest in-flight chunk, re-dispatching it first if an
+        earlier chunk's overflow grew the spec-dim ladder past the spec this
+        chunk was dispatched with — its stale tables would otherwise each pay
+        a guaranteed-overflow round trip before retrying (advisor r4)."""
+        rec = pending.pop(0)
+        cur = self._ingest_spec(ds, fr, mr,
+                                max(len(c) for c in rec["clouds"]))
+        if cur is not None and cur != rec["spec"]:
+            rec = self._ingest_dispatch(rec["clouds"], rec["origins"], cur)
+        self._ingest_finish(rec, ds, fr, mr, rec["spec"])
 
     def _ingest_dispatch(self, clouds, origins,
                          spec: device_ingest.IngestSpec) -> dict:
@@ -127,7 +139,7 @@ class DeviceIngestMixin:
             except (AttributeError, NotImplementedError):
                 break
         return {"out": out, "fetch_names": fetch_names, "K_pad": K_pad,
-                "n": n, "clouds": clouds, "origins": origins}
+                "n": n, "clouds": clouds, "origins": origins, "spec": spec}
 
     def _ingest_finish(self, rec: dict, ds, fr, mr,
                        spec: device_ingest.IngestSpec) -> None:
