@@ -67,7 +67,10 @@ def cmd_static(args) -> int:
           f"({res.scans_per_second:.2f} scans/s)")
 
     min_z, max_z = ds.min_z, ds.max_z
-    ex = export_leaves(res.map, original_size=ds.original_size)
+    # the LV static demo hides occupied voxels above z = 2.0
+    # (bgklvoctomap_static_node.cpp:119-120); the other nodes don't
+    ex = export_leaves(res.map, original_size=ds.original_size,
+                       occupied_z_max=2.0 if cfg.method == "bgklv" else None)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         n_occ = markers.export_ply(args.out + "_occupied.ply", ex["occupied"],

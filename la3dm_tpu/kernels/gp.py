@@ -10,8 +10,6 @@ their kernel rows vanish and the padded system block-diagonalises.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -58,10 +56,6 @@ def gp_train_core(points: jax.Array, labels: jax.Array, valid: jax.Array,
     return jax.vmap(per_block)(pts, y)
 
 
-gp_train_blocks = functools.partial(jax.jit, static_argnames=("sf2", "ell", "noise"))(
-    gp_train_core)
-
-
 def gp_predict_core(L: jax.Array, alpha: jax.Array, points: jax.Array, valid: jax.Array,
                     xs: jax.Array, sf2: float, ell: float) -> tuple[jax.Array, jax.Array]:
     """Batched GP prediction (gpregressor.h:80-92) — traceable core.
@@ -84,10 +78,6 @@ def gp_predict_core(L: jax.Array, alpha: jax.Array, points: jax.Array, valid: ja
         return mean, var
 
     return jax.vmap(per_block)(L, alpha, pts, xs)
-
-
-gp_predict_blocks = functools.partial(jax.jit, static_argnames=("sf2", "ell"))(
-    gp_predict_core)
 
 
 def bcm_update_sequential(m_ivar: jax.Array, ivar: jax.Array,

@@ -128,8 +128,14 @@ class BlockPool:
         self.eff_level = jnp.concatenate([self.eff_level, jnp.zeros((pad, self.V), jnp.int8)])
         self.capacity = new_cap
 
-    def ensure(self, coords: np.ndarray) -> np.ndarray:
-        """Get slots for integer block coords [N,3], allocating new blocks."""
+    def ensure(self, coords: np.ndarray,
+               weights: np.ndarray | None = None) -> np.ndarray:
+        """Get slots for integer block coords [N,3], allocating new blocks.
+
+        ``weights`` [N] is advisory work-volume information for load-aware
+        placement; the single-device pool ignores it (the sharded pool uses
+        it to balance accumulated work across device chunks).
+        """
         keys = geo.pack_key(coords)
         slots = np.empty(len(keys), dtype=np.int32)
         missing = []

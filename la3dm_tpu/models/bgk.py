@@ -606,7 +606,9 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
         blk_off = 0
         gen0 = self.pool.generation
         for t in tables:
-            slots = self.pool.ensure(t.test_coords)
+            # entry totals weight the sharded pool's load-aware placement
+            slots = self.pool.ensure(t.test_coords,
+                                     weights=t.counts.sum(axis=1))
             coord_parts.append(t.test_coords)
             centers = self.block_centers(t.test_coords).astype(np.float32)
             ids, gslot, row_block, row_start, row_count, totals = \

@@ -417,7 +417,6 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         gx, gy, gz = np.meshgrid(*[np.arange(lo, hi + 1) for lo, hi in zip(los, his)],
                                  indexing="ij")
         cand = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.int64)
-        self.pool.ensure(cand)
 
         tile_coords = geo.unpack_key(active_keys)               # [T,3]
         tpa = self.tiles_per_axis
@@ -425,7 +424,6 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         tile_pos = tile_coords - blk_coords * tpa               # [T,3] ∈ [0,tpa)
         pos_id = (tile_pos[:, 0] + tile_pos[:, 1] * tpa
                   + tile_pos[:, 2] * tpa * tpa).astype(np.int32)
-        slots = self.pool.lookup(blk_coords)
         # only blocks in THIS scan's candidate sweep are updated (the reference
         # iterates the sweep's blocks); halo spill outside it is dropped too
         cand_keys = np.sort(geo.pack_key(cand))
@@ -433,6 +431,18 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         pos = np.searchsorted(cand_keys, bk)
         pos = np.clip(pos, 0, max(len(cand_keys) - 1, 0))
         in_sweep = cand_keys[pos] == bk if len(cand_keys) else np.zeros(len(bk), bool)
+        # first-touch the WORKED blocks with per-block entry-count weights
+        # (kernel coverage — hence touched voxels — tracks how many hits/rays
+        # reach a block's tiles), so the sharded pool places them by expected
+        # work; the rest of the sweep follows count-balanced.  Ordering only
+        # affects placement — posteriors are slot-agnostic.
+        wb_keys, wb_inv = np.unique(bk[in_sweep], return_inverse=True)
+        if len(wb_keys):
+            w = np.zeros(len(wb_keys), np.float64)
+            np.add.at(w, wb_inv, (h_count + r_count)[in_sweep].astype(np.float64))
+            self.pool.ensure(geo.unpack_key(wb_keys), weights=w)
+        self.pool.ensure(cand)
+        slots = self.pool.lookup(blk_coords)
         keep = (slots >= 0) & in_sweep
         pos_id, slots = pos_id[keep], slots[keep]
         h_start, h_count = h_start[keep], h_count[keep]

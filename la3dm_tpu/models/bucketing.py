@@ -6,11 +6,11 @@ axis-aligned box" over the current scan, which block bucketing + the
 face-neighbor gather answers exactly (ExtendedBlock semantics,
 ``bgkblock.cpp:85-101``).
 
-Output of :func:`bucket_by_block` feeds :mod:`la3dm_tpu.kernels.predict`:
-for every *test block* (any block whose extended neighborhood holds ≥1
-training entry — the reference's test_blocks, ``bgkoctomap.cpp:253-262``),
-a padded row of all entries from its ``G`` neighbor blocks tagged with the
-neighbor-slot id for per-model k̄ gating.
+:func:`bucket_tables` produces, for every *test block* (any block whose
+extended neighborhood holds ≥1 training entry — the reference's test_blocks,
+``bgkoctomap.cpp:253-262``), per-neighbor-slot (start, count) segments into
+the block-sorted entry table; the row engines (models/bgk.py) expand these
+into fixed-width rows on the host and gather entries on device.
 """
 
 from __future__ import annotations
@@ -20,17 +20,6 @@ import dataclasses
 import numpy as np
 
 from la3dm_tpu.geometry import blocks as geo
-
-
-@dataclasses.dataclass
-class BlockBuckets:
-    """Padded per-test-block training data (host numpy, ready to ship)."""
-
-    test_coords: np.ndarray   # [B,3] int64 test-block coords
-    entries: np.ndarray       # [B,S,D] f32 block-local training entries
-    labels: np.ndarray        # [B,S] f32
-    slots: np.ndarray         # [B,S] int32 neighbor-slot ids
-    valid: np.ndarray         # [B,S] bool
 
 
 @dataclasses.dataclass
@@ -83,62 +72,3 @@ def test_blocks_for(ukeys: np.ndarray, neighbor_offsets: np.ndarray) -> np.ndarr
     ucoords = geo.unpack_key(ukeys)
     cand = (ucoords[:, None, :] + neighbor_offsets[None, :, :]).reshape(-1, 3)
     return geo.unpack_key(np.unique(geo.pack_key(cand)))
-
-
-def bucket_by_block(entry_coords: np.ndarray, entries: np.ndarray, labels: np.ndarray,
-                    neighbor_offsets: np.ndarray, block_size: float) -> BlockBuckets:
-    """Build padded neighbor-gathered buckets.
-
-    Entries stay in world coordinates: the reference evaluates kernels on
-    world-frame float32 positions, and the k̄ update gate is ulp-sensitive at
-    the sparse kernel's support boundary, so block-local re-centering would
-    flip gate decisions.
-
-    Args:
-      entry_coords: [N,3] owning-block coords of each training entry.
-      entries: [N,D] training payload (points D=3 or segments D=6).
-      labels:  [N].
-      neighbor_offsets: [G,3] neighborhood (self first).
-      block_size: world size of a block.
-    """
-    order, ukeys, starts, counts = group_by_block(entry_coords)
-    entries_s = entries[order]
-    labels_s = labels[order]
-
-    test_coords = test_blocks_for(ukeys, neighbor_offsets)
-    B, G = len(test_coords), len(neighbor_offsets)
-
-    # per (test block, slot): segment into the sorted entry array
-    nb_keys = geo.pack_key(test_coords[:, None, :] + neighbor_offsets[None, :, :])  # [B,G]
-    pos = np.searchsorted(ukeys, nb_keys.reshape(-1))
-    pos = np.clip(pos, 0, len(ukeys) - 1)
-    hit = ukeys[pos] == nb_keys.reshape(-1)
-    seg_start = np.where(hit, starts[pos], 0).reshape(B, G)
-    seg_count = np.where(hit, counts[pos], 0).reshape(B, G)
-
-    totals = seg_count.sum(axis=1)
-    S = max(int(totals.max()) if B else 0, 8)
-    D = entries.shape[1]
-
-    out_entries = np.zeros((B, S, D), np.float32)
-    out_labels = np.zeros((B, S), np.float32)
-    out_slots = np.zeros((B, S), np.int32)
-    out_valid = np.zeros((B, S), bool)
-    # vectorized ragged copy: one flat gather/scatter over all (b,g) segments
-    lens = seg_count.reshape(-1)                                   # [B*G]
-    starts_flat = seg_start.reshape(-1)
-    col_base = np.concatenate([np.zeros((B, 1), np.int64),
-                               np.cumsum(seg_count, axis=1)[:, :-1]], axis=1).reshape(-1)
-    total = int(lens.sum())
-    if total:
-        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        src = np.repeat(starts_flat, lens) + within
-        rows = np.repeat(np.arange(B * G) // G, lens)
-        cols = np.repeat(col_base, lens) + within
-        slot_of_pair = np.repeat(np.arange(B * G) % G, lens)
-        out_entries[rows, cols] = entries_s[src]
-        out_labels[rows, cols] = labels_s[src]
-        out_slots[rows, cols] = slot_of_pair
-        out_valid[rows, cols] = True
-    return BlockBuckets(test_coords=test_coords, entries=out_entries,
-                        labels=out_labels, slots=out_slots, valid=out_valid)

@@ -436,7 +436,12 @@ class GPOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
         blk_off = 0
         gen0 = self.pool.generation
         for t in tables:
-            slots = self.pool.ensure(t["test_coords"])
+            # per-test-block training-point totals (summed over the G
+            # neighbor models via nb_t) weight load-aware placement
+            w = np.zeros(len(t["test_coords"]), np.float64)
+            np.add.at(w, t["nb_t"].reshape(-1),
+                      np.repeat(t["counts"], t["nb_t"].shape[1]))
+            slots = self.pool.ensure(t["test_coords"], weights=w)
             coord_parts.append(t["test_coords"])
             pts_parts.append(t["pts"])
             lab_parts.append(t["lab"])

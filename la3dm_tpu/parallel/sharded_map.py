@@ -35,15 +35,24 @@ from la3dm_tpu.utils.config import MapConfig
 
 
 class ShardedBlockPool(base.BlockPool):
-    """Device-interleaved slot assignment; grows by resharding.
+    """Load-aware device placement; grows by resharding.
 
-    Growth doubles capacity and re-lays-out every shard: slot ids are
-    chunk-relative ((c % n_dev)·chunk + c//n_dev), so the old slot c maps to
-    a new slot under the doubled chunk — a device-side gather re-places all
-    per-block rows, and the host key→slot dict is rebuilt.  Growth happens
-    between scans (``ensure`` runs host-side), so jitted step shapes change
-    only at that boundary — one recompile per doubling, like the unsharded
-    pool.
+    New blocks are placed on the device with the least **accumulated work**
+    (``ensure`` weights — entry/tile counts supplied by the engines), not
+    round-robin by address: sensor sweeps concentrate work in few blocks, so
+    balancing block *count* alone leaves touched-voxel skews of 4-5× on the
+    LV family (SURVEY §7 hard part; the reference's analogue is the OpenMP
+    ``schedule(dynamic)`` at bgkoctomap.cpp:250-252).  Repeat references to
+    existing blocks keep accumulating onto their device's load, so later
+    placement decisions see the true work distribution.
+
+    Growth doubles capacity and re-lays-out every shard: slot s on device
+    d = s // chunk at offset o = s % chunk moves to d·new_chunk + o — device
+    residency (and the accumulated loads) are preserved, a device-side
+    gather re-places all per-block rows, and the host key→slot dict is
+    rebuilt.  Growth happens between scans (``ensure`` runs host-side), so
+    jitted step shapes change only at that boundary — one recompile per
+    doubling, like the unsharded pool.
     """
 
     def __init__(self, voxels_per_block, fields, capacity, mesh):
@@ -58,6 +67,9 @@ class ShardedBlockPool(base.BlockPool):
             self.fields[k] = jax.device_put(self.fields[k], self.sharding)
         self.touched = jax.device_put(self.touched, self.sharding)
         self.eff_level = jax.device_put(self.eff_level, self.sharding)
+        #: per-device accumulated ensure-weight and resident block count
+        self.dev_load = np.zeros(n_dev, np.float64)
+        self._dev_count = np.zeros(n_dev, np.int64)
 
     def _grow(self, min_capacity):
         self.generation += 1  # invalidates previously returned slot ids
@@ -65,28 +77,76 @@ class ShardedBlockPool(base.BlockPool):
         while new_cap < min_capacity:
             new_cap *= 2
         new_chunk = new_cap // self.n_dev
-        # old slot of block c → new slot of block c (both chunk-relative)
-        order = np.argsort(list(self._slot_of.values()))  # stable map rebuild
-        keys = np.asarray(list(self._slot_of.keys()), np.int64)[order]
-        old_slots = np.asarray(list(self._slot_of.values()), np.int64)[order]
-        c_of = (old_slots % self.chunk) * self.n_dev + old_slots // self.chunk
-        new_slots = (c_of % self.n_dev) * new_chunk + c_of // self.n_dev
+        # slot s = (d, offset) keeps its device and offset under the new chunk
+        keys = np.asarray(list(self._slot_of.keys()), np.int64)
+        old_slots = np.asarray(list(self._slot_of.values()), np.int64)
+        d = old_slots // self.chunk
+        new_slots = d * new_chunk + old_slots % self.chunk
+        self._relayout(new_slots, old_slots, keys, new_cap)
 
-        src = np.full(new_cap, self.capacity, np.int64)  # gather index (old)
+    def ensure(self, coords: np.ndarray,
+               weights: np.ndarray | None = None) -> np.ndarray:
+        """Slots for coords [N,3], placing new blocks on the least-loaded
+        device.  ``weights`` [N] (work units — entries/tiles this scan) feed
+        the load tracker for existing AND new blocks; None counts 1 per new
+        block (pure count balance)."""
+        keys = geo.pack_key(coords)
+        missing, seen = [], set()
+        for i, k in enumerate(keys):
+            ki = int(k)
+            if ki not in self._slot_of and ki not in seen:
+                missing.append(i)
+                seen.add(ki)
+        if missing:
+            if self.n_blocks + len(missing) > self.capacity:
+                self._grow(self.n_blocks + len(missing))
+            # longest-processing-time greedy: place the heaviest new blocks
+            # first on the least-loaded device — near-optimal makespan, vs
+            # arrival order which lets an early heavy block land anywhere
+            if weights is not None:
+                missing.sort(key=lambda i: -float(weights[i]))
+            for i in missing:
+                # least accumulated load among devices with free slots
+                # (ties → fewer resident blocks, then lowest index)
+                space = self._dev_count < self.chunk
+                load = np.where(space, self.dev_load, np.inf)
+                cand = np.flatnonzero(load == load.min())
+                d = int(cand[np.argmin(self._dev_count[cand])])
+                s = d * self.chunk + int(self._dev_count[d])
+                self._dev_count[d] += 1
+                if weights is None:
+                    self.dev_load[d] += 1.0
+                else:
+                    self.dev_load[d] += float(weights[i])
+                self._slot_of[int(keys[i])] = s
+                self.coords[s] = coords[i]
+                self.n_blocks += 1
+        placed = set(missing)
+        slots = np.empty(len(keys), dtype=np.int32)
+        for i, k in enumerate(keys):
+            slots[i] = self._slot_of[int(k)]
+            if weights is not None and i not in placed:
+                # accumulate repeat work onto the owning device's load
+                self.dev_load[slots[i] // self.chunk] += float(weights[i])
+        return slots
+
+    def _relayout(self, new_slots: np.ndarray, old_slots: np.ndarray,
+                  keys: np.ndarray, new_cap: int) -> None:
+        """Move every block old→new slot with one sharded device gather."""
+        new_chunk = new_cap // self.n_dev
+        src = np.full(new_cap, self.capacity, np.int64)
         src[new_slots] = old_slots
         src_dev = jax.device_put(jnp.asarray(src), pm.replicated(self.mesh))
 
         def regather(arr, fill):
             padded = jnp.concatenate(
                 [arr, jnp.full((1, self.V), fill, arr.dtype)])
-            out = padded[src_dev]
-            return jax.device_put(out, self.sharding)
+            return jax.device_put(padded[src_dev], self.sharding)
 
         for name, arr in self.fields.items():
             self.fields[name] = regather(arr, self._fills[name])
         self.touched = regather(self.touched, False)
         self.eff_level = regather(self.eff_level, 0)
-
         new_coords = np.zeros((new_cap, 3), np.int64)
         new_coords[new_slots] = self.coords[old_slots]
         self.coords = new_coords
@@ -94,30 +154,39 @@ class ShardedBlockPool(base.BlockPool):
         self.capacity = new_cap
         self.chunk = new_chunk
 
-    def ensure(self, coords: np.ndarray) -> np.ndarray:
-        keys = geo.pack_key(coords)
-        slots = np.empty(len(keys), dtype=np.int32)
-        gen0 = self.generation
-        for i, k in enumerate(keys):
-            s = self._slot_of.get(int(k), -1)
-            if s < 0:
-                c = self.n_blocks
-                if c >= self.capacity:
-                    self._grow(c + 1)
-                # round-robin device chunks: block c → device c%n, offset c//n
-                s = (c % self.n_dev) * self.chunk + c // self.n_dev
-                self._slot_of[int(k)] = s
-                self.coords[s] = coords[i]
-                slots[i] = s
-                self.n_blocks += 1
-            else:
-                slots[i] = s
-        if self.generation != gen0:
-            # a mid-call _grow remapped every slot; ids written before it are
-            # stale — re-resolve the whole batch against the final layout
-            for i, k in enumerate(keys):
-                slots[i] = self._slot_of[int(k)]
-        return slots
+    def rebalance(self, block_load: np.ndarray) -> None:
+        """Re-place every block by MEASURED per-slot load (LPT), then move
+        the pool state with the reshard gather (SURVEY §7: balance *active*
+        work, not addresses).
+
+        Weight-predicted placement is first-touch — a block whose work turns
+        out much larger than its ensure-weights (common for the LV family,
+        where kernel reach per entry varies wildly) stays wherever it landed.
+        This corrects placement against ground truth (e.g. per-slot touched-
+        voxel counts) between scans; slot ids change (generation bump), which
+        every engine already re-resolves across calls.
+        """
+        if self.n_blocks == 0:
+            return
+        self.generation += 1
+        keys = np.asarray(list(self._slot_of.keys()), np.int64)
+        old_slots = np.asarray(list(self._slot_of.values()), np.int64)
+        loads = np.asarray(block_load, np.float64)[old_slots]
+        order = np.argsort(-loads, kind="stable")
+        dev_load = np.zeros(self.n_dev)
+        dev_count = np.zeros(self.n_dev, np.int64)
+        new_slots = np.empty(len(old_slots), np.int64)
+        for j in order:
+            space = dev_count < self.chunk
+            masked = np.where(space, dev_load, np.inf)
+            cand = np.flatnonzero(masked == masked.min())
+            d = int(cand[np.argmin(dev_count[cand])])
+            new_slots[j] = d * self.chunk + dev_count[d]
+            dev_count[d] += 1
+            dev_load[d] += loads[j]
+        self._relayout(new_slots, old_slots, keys, self.capacity)
+        self.dev_load = dev_load
+        self._dev_count = dev_count
 
     def active_slots(self) -> np.ndarray:
         return np.fromiter(self._slot_of.values(), dtype=np.int32, count=self.n_blocks)
@@ -133,6 +202,17 @@ class _ShardedMixin:
 
     def _make_pool(self):
         return ShardedBlockPool(self.V, self.FIELD_FILLS, self._capacity, self._mesh)
+
+    def rebalance(self) -> None:
+        """Re-place blocks across devices by MEASURED touched-voxel load.
+
+        Call between scans when the per-device skew matters (long-running
+        servers, load-concentrated sweeps); one device-side reduce + one
+        resharding gather.  Safe at any scan boundary — engines re-resolve
+        slot ids per call via the pool generation protocol.
+        """
+        load = np.asarray(jnp.sum(self.pool.touched, axis=1))
+        self.pool.rebalance(load)
 
 
 class ShardedBGKOctoMap(_ShardedMixin, BGKOctoMap):

@@ -165,12 +165,21 @@ def frontier_leaves(m: OccupancyMapBase, var_min: float, prob_max: float,
     return {k: v[sel] for k, v in leaves.items()}
 
 
-def export_leaves(m: OccupancyMapBase, original_size: bool = False) -> dict:
+def export_leaves(m: OccupancyMapBase, original_size: bool = False,
+                  occupied_z_max: float | None = None) -> dict:
     """Occupied + free leaf sets with the static nodes' display semantics:
     OCCUPIED leaves (height coloring domain) and FREE leaves (probability
     coloring), expanding pruned leaves to base resolution unless
-    original_size (static_node.cpp:111-136)."""
+    original_size (static_node.cpp:111-136).
+
+    ``occupied_z_max`` reproduces the LV static node's display cutoff — it
+    hides occupied voxels above z = 2.0 (bgklvoctomap_static_node.cpp:
+    119-120); pass ``None`` (the other static nodes) to keep everything.
+    """
     leaves = m.leaves(expand_pruned=not original_size)
-    occ = {k: v[leaves["state"] == int(State.OCCUPIED)] for k, v in leaves.items()}
+    occ_sel = leaves["state"] == int(State.OCCUPIED)
+    if occupied_z_max is not None:
+        occ_sel &= leaves["z"] <= occupied_z_max
+    occ = {k: v[occ_sel] for k, v in leaves.items()}
     free = {k: v[leaves["state"] == int(State.FREE)] for k, v in leaves.items()}
     return {"occupied": occ, "free": free, "all": leaves}

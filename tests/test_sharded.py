@@ -116,3 +116,28 @@ def test_sharded_pool_growth(rng, cls_pair, cfg):
     assert sharded.pool.generation > 0
 
     _assert_maps_equal(single, sharded, cfg)
+
+
+@pytest.mark.parametrize("cls_pair,cfg", FAMILIES)
+def test_rebalance_preserves_state_and_flattens_load(rng, cls_pair, cfg):
+    """Measured-load rebalance (reshard machinery): per-voxel state is
+    preserved across the re-placement, stale slot ids are re-resolved by the
+    generation protocol on the next insert, and the per-device touched-voxel
+    load lands within the LPT bound (max ≤ mean + heaviest block)."""
+    single_cls, sharded_cls = cls_pair
+    mesh = pm.block_mesh(8)
+    single = single_cls(cfg)
+    sharded = sharded_cls(cfg, mesh=mesh, capacity=2048)
+    for i in range(2):
+        cloud, origin = synthetic_scan(rng, n=80, origin=(0.1, -0.2 + 0.3 * i, 0.3))
+        single.insert_pointcloud(cloud, origin)
+        sharded.insert_pointcloud(cloud, origin)
+        gen = sharded.pool.generation
+        sharded.rebalance()   # between scans, as a long-running server would
+        assert sharded.pool.generation == gen + 1
+
+    _assert_maps_equal(single, sharded, cfg)
+
+    block_load = np.asarray(sharded.pool.touched).sum(axis=1).astype(np.float64)
+    per_dev = block_load.reshape(8, -1).sum(axis=1)
+    assert per_dev.max() <= per_dev.mean() + block_load.max() + 1e-9
