@@ -256,24 +256,25 @@ def run_roofline() -> dict:
         "gflops_per_s": round(2 * N ** 3 / t / 1e9, 1),
         "mfu_pct_vs_bf16_peak": round(100 * 2 * N ** 3 / t / (2 * peak), 1)}
 
-    # (a) aligned BGK row contraction at production shapes
+    # (a) aligned BGK row contraction at production shapes (entry-block
+    # accumulator layout: SORTED row targets, as the ingest sort guarantees)
     rng = np.random.default_rng(0)
     G, Vall, Wa, chunk = 7, 585, 8, 64
-    Tp = 2048
+    Up = 16 * 1024  # K=16 scans × Bu=1024 entry blocks (the production acc)
     FLOP_KERNEL = 34  # 3-axis diff/sq/acc + sqrt + sparse kernel + dot MAC
 
     @functools.partial(jax.jit, static_argnames=("Wa", "chunk", "G", "seg"))
     def heavy_only(ext, e, l, m, tg, Wa, chunk, G, seg):
-        acc = jnp.zeros((Tp * G, Vall, 2), jnp.float32)
+        acc = jnp.zeros((Up + 1, G * Vall * 2), jnp.float32)
         return B._aligned_heavy(acc, ext, e, l, m, tg, Wa, chunk, G,
-                                1.0, 0.2, seg)[0, 0, 0]
+                                1.0, 0.2, seg)[0, 0]
 
     ext = jnp.asarray(rng.uniform(-1, 1, (G * Vall, 3)).astype(np.float32))
     for rows in (8192, 32768, 131072):
         e = jnp.asarray(rng.uniform(-1, 1, (rows * Wa, 3)).astype(np.float32))
         l = jnp.asarray((rng.random(rows * Wa) < 0.3).astype(np.float32))
         m = jnp.asarray(np.ones(rows * Wa, bool))
-        tg = jnp.asarray(rng.integers(0, Tp * G, (rows, G)).astype(np.int32))
+        tg = jnp.asarray(np.sort(rng.integers(0, Up, rows)).astype(np.int32))
         t = best_s(lambda: heavy_only(ext, e, l, m, tg, Wa, chunk, G, False))
         fl = rows * Wa * G * Vall * FLOP_KERNEL
         out[f"bgk_row_engine_rows{rows}"] = {

@@ -81,6 +81,7 @@ class IngestSpec:
     """Static shape/parameter bundle (one compiled executable per spec)."""
 
     P: int            # raw points per scan (padded)
+    Ph: int           # downsampled hit voxels per scan (padded; ≤ P)
     Pf: int           # downsampled free voxels per scan (padded)
     Kf: int           # free-sample slots per beam (⌈mr/fr⌉ + 1)
     Bu: int           # unique entry blocks per scan (padded)
@@ -95,13 +96,13 @@ class IngestSpec:
     Wa: int = 8       # entry-row alignment: blocks padded to multiples of Wa
 
     @property
-    def E(self) -> int:  # entries per scan: hits (≤P) then frees (≤Pf)
-        return self.P + self.Pf
+    def E(self) -> int:  # entries per scan: hits (≤Ph) then frees (≤Pf)
+        return self.Ph + self.Pf
 
     @property
     def Mraw(self) -> int:  # raw block memberships per scan (≤8 per entry)
         if self.segments:
-            return 8 * self.P + self.Rmax * self.P
+            return 8 * self.Ph + self.Rmax * self.Ph
         return 8 * self.E
 
     @property
@@ -137,8 +138,11 @@ def spec_for(cfg, ds_resolution: float, free_resolution: float,
     Rmax = 0
     if segments:
         Rmax = int(min((Kf + 1) * 8, -(-(2 * (Kf + 1) + 8) // 8) * 8, 256))
+    # Ph/Pf seeded to the measured cover of the bundled workloads (max hit
+    # voxels 1958, max free voxels 5110 per scan at ds=0.1) — the overflow
+    # ladder grows them for denser sensors
     return IngestSpec(
-        P=P, Pf=8192, Kf=Kf, Bu=1024, T=1024,
+        P=P, Ph=min(2048, P), Pf=8192, Kf=Kf, Bu=1024, T=1024,
         ds=float(ds_resolution), fr=float(free_resolution),
         mr=float(max_range), block_size=float(cfg.block_size),
         free_label=free_label, segments=segments, Rmax=Rmax)
@@ -339,8 +343,7 @@ def _bucket_align(mkey: jax.Array, payloads: tuple, spec: IngestSpec,
                      _SENT)
 
     # the test-block row each entry block serves at slot g (u − off is
-    # always a test block; gp.py::_model_tables nb_t and the BGK scatter
-    # targets both come from this)
+    # always a test block; gp.py::_model_tables nb_t comes from this)
     ub = jnp.where(uvalid[:, None], ukey[:, None] - off_keys[None, :],
                    jnp.int32(-2))                             # [Bu,G]
     eq2 = (ub.reshape(-1)[:, None] == tkey[None, :]) & tvalid[None, :]
@@ -349,10 +352,21 @@ def _bucket_align(mkey: jax.Array, payloads: tuple, spec: IngestSpec,
     hit2 = jnp.any(eq2, axis=1)
     nb_row = jnp.where(hit2, pos, T).reshape(Bu, G)
 
+    # the inverse map for the BGK light pass: the entry-block rank feeding
+    # test row t at slot g (t + off_g ∈ ukey, or Bu ⇒ no contribution) —
+    # the heavy pass accumulates per ENTRY block (tile-aligned rows, no
+    # fine-grained scatter) and the light pass gathers through this table
+    tb = jnp.where(tvalid[:, None], tkey[:, None] + off_keys[None, :],
+                   jnp.int32(-2))                             # [T,G]
+    eq3 = (tb.reshape(-1)[:, None] == ukey[None, :]) & uvalid[None, :]
+    eq3f = eq3.astype(jnp.float32)                            # [T·G, Bu]
+    upos = (eq3f @ jnp.arange(Bu, dtype=jnp.float32)).astype(jnp.int32)
+    tb_u = jnp.where(jnp.any(eq3, axis=1), upos, Bu).reshape(T, G)
+
     return {"mkey_a": mkey_a, "cols_a": cols_a, "vmask": vmask,
             "urank_rows": urank_rows,
             "ukey": ukey, "ustart": ustart, "ucount": ucount,
-            "tkey": tkey, "nb_row": nb_row,
+            "tkey": tkey, "nb_row": nb_row, "tb_u": tb_u,
             "n_mem": n_mem, "n_ublk": n_ublk, "n_test": n_test,
             "n_align": n_align}
 
@@ -378,12 +392,14 @@ def _outlier_mask(cloud: jax.Array, origin: jax.Array,
 def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
                  spec: IngestSpec, off_keys: jax.Array) -> dict:
     """One scan's full point-family pipeline (fixed shapes; module docstring)."""
-    P, Pf, Kf = spec.P, spec.Pf, spec.Kf
+    P, Ph, Pf, Kf = spec.P, spec.Ph, spec.Pf, spec.Kf
     valid_in = (jnp.arange(P, dtype=jnp.int32) < npts) \
         & _outlier_mask(cloud, origin, spec)
 
-    # 1. hits: downsample at the ds leaf (bgkoctomap.cpp:419-431)
-    hits, hit_ok, n_hit_vox = _downsample(cloud, valid_in, spec.ds, P)
+    # 1. hits: downsample at the ds leaf (bgkoctomap.cpp:419-431) into the
+    #    Ph-bounded hit-voxel table (the downsample compacts live voxels to a
+    #    prefix; n_hit_vox > Ph trips the overflow ladder)
+    hits, hit_ok, n_hit_vox = _downsample(cloud, valid_in, spec.ds, Ph)
 
     # 2. max-range filter (f32 here; host uses f64 — boundary-ulp deviation)
     diff = hits - origin[None, :]
@@ -395,14 +411,14 @@ def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     #    plus the origin once per hit (bgkoctomap.cpp:433-458, :404)
     karr = (jnp.arange(1, Kf + 1, dtype=jnp.float32) * jnp.float32(spec.fr))
     d = jnp.concatenate([
-        jnp.broadcast_to(karr[None, :], (P, Kf)),
+        jnp.broadcast_to(karr[None, :], (Ph, Kf)),
         (l - jnp.float32(spec.fr))[:, None],
-        jnp.zeros((P, 1), jnp.float32),
-    ], axis=1)                                               # [P, Kf+2]
+        jnp.zeros((Ph, 1), jnp.float32),
+    ], axis=1)                                               # [Ph, Kf+2]
     fmask = jnp.concatenate([
         karr[None, :] < l[:, None],
         (l > jnp.float32(spec.fr))[:, None],
-        jnp.ones((P, 1), bool),
+        jnp.ones((Ph, 1), bool),
     ], axis=1) & inr[:, None]
     fpts = origin[None, None, :] + ndir[:, None, :] * d[:, :, None]
 
@@ -414,7 +430,7 @@ def _ingest_scan(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     #    voxel order — matching the host pipeline's concatenation order
     ent = jnp.concatenate([hits, frees], axis=0)             # [E,3]
     lab = jnp.concatenate([
-        jnp.ones((P,), jnp.float32),
+        jnp.ones((Ph,), jnp.float32),
         jnp.full((Pf,), jnp.float32(spec.free_label)),
     ])
     evalid = jnp.concatenate([inr, free_ok])
@@ -457,6 +473,7 @@ def _common_outputs(tabs: dict, ent_a: jax.Array, labs: jax.Array,
         "ukey": tabs["ukey"], "ustart": tabs["ustart"],
         "ucount": tabs["ucount"],                        # [Bu]
         "tkey": tabs["tkey"], "nb_row": tabs["nb_row"],  # [T], [Bu,G]
+        "tb_u": tabs["tb_u"],                            # [T,G]
         "bias": bmin,                                    # [3] local→global
     }
 
@@ -472,18 +489,18 @@ def _ingest_scan_bgkl(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     ray's candidate block keys and keeping first-in-run flags reproduces the
     reference's R-tree set semantics exactly.
     """
-    P, Kf, Rmax = spec.P, spec.Kf, spec.Rmax
+    P, Ph, Kf, Rmax = spec.P, spec.Ph, spec.Kf, spec.Rmax
 
     valid_in = (jnp.arange(P, dtype=jnp.int32) < npts) \
         & _outlier_mask(cloud, origin, spec)
-    hits_ds, hit_ok, n_hit_vox = _downsample(cloud, valid_in, spec.ds, P)
+    hits_ds, hit_ok, n_hit_vox = _downsample(cloud, valid_in, spec.ds, Ph)
 
     # range filter + f32 recompute of the endpoint (bgkloctomap.cpp:316)
     diff = hits_ds - origin[None, :]
     l = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     inr = hit_ok & (l <= jnp.float32(spec.mr)) & (l > 0)
     ndir = diff / jnp.maximum(l, 1e-30)[:, None]
-    occ = origin[None, :] + ndir * l[:, None]                # [P,3]
+    occ = origin[None, :] + ndir * l[:, None]                # [Ph,3]
 
     # free ray per hit: (origin, origin + n·(l − fr)) (:335-338)
     end = origin[None, :] + ndir * (l - jnp.float32(spec.fr))[:, None]
@@ -491,26 +508,26 @@ def _ingest_scan_bgkl(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     # proxy samples per ray: the origin (:328) + backward beam samples
     # d = l − fr, l − 2fr, … > 0 (:325, :360-383)
     karr = jnp.arange(1, Kf + 1, dtype=jnp.float32) * jnp.float32(spec.fr)
-    d = l[:, None] - karr[None, :]                           # [P,Kf]
+    d = l[:, None] - karr[None, :]                           # [Ph,Kf]
     smask = (d > 0.0) & inr[:, None]
     spts = origin[None, None, :] + ndir[:, None, :] * d[:, :, None]
     spts = jnp.concatenate(
-        [jnp.broadcast_to(origin[None, None, :], (P, 1, 3)), spts], axis=1)
-    smask = jnp.concatenate([inr[:, None], smask], axis=1)   # [P,Kf+1]
+        [jnp.broadcast_to(origin[None, None, :], (Ph, 1, 3)), spts], axis=1)
+    smask = jnp.concatenate([inr[:, None], smask], axis=1)   # [Ph,Kf+1]
 
     # shared scan-local key window over hit memberships ∪ sample memberships
-    hco, hok = _closed_box_memberships(occ, inr, spec.block_size)  # [P,8,..]
+    hco, hok = _closed_box_memberships(occ, inr, spec.block_size)  # [Ph,8,..]
     sco, sok = _closed_box_memberships(
         spts.reshape(-1, 3), smask.reshape(-1), spec.block_size)
     allco = jnp.concatenate([hco.reshape(-1, 3), sco.reshape(-1, 3)], axis=0)
     allok = jnp.concatenate([hok.reshape(-1), sok.reshape(-1)], axis=0)
     key_all, bmin = _local_keys(allco, allok)
-    hkey = key_all[: P * 8].reshape(P, 8)
-    skey = key_all[P * 8:].reshape(P, (Kf + 1) * 8)
+    hkey = key_all[: Ph * 8].reshape(Ph, 8)
+    skey = key_all[Ph * 8:].reshape(Ph, (Kf + 1) * 8)
 
     # per-(block, ray) dedup: two per-ray row sorts (cheap: rows of
     # (Kf+1)·8 candidates), keeping the first Rmax distinct block keys
-    skey_r = jnp.sort(skey, axis=1)                          # [P, (Kf+1)·8]
+    skey_r = jnp.sort(skey, axis=1)                          # [Ph, (Kf+1)·8]
     first = jnp.concatenate([
         (skey_r[:, :1] != _SENT),
         (skey_r[:, 1:] != skey_r[:, :-1]) & (skey_r[:, 1:] != _SENT)], axis=1)
@@ -520,16 +537,16 @@ def _ingest_scan_bgkl(cloud: jax.Array, npts: jax.Array, origin: jax.Array,
     # entries: hits (degenerate segments, label 1) FIRST, then rays (label 0)
     # — the stable global sort then matches the host pipeline's per-block
     # hits-before-rays order (models/bgkl.py::segment_block_entries)
-    hseg = jnp.concatenate([occ, occ], axis=1)               # [P,6]
+    hseg = jnp.concatenate([occ, occ], axis=1)               # [Ph,6]
     rseg = jnp.concatenate(
-        [jnp.broadcast_to(origin[None, :], (P, 3)), end], axis=1)
+        [jnp.broadcast_to(origin[None, :], (Ph, 3)), end], axis=1)
     rep8 = lambda a: jnp.repeat(a, 8, axis=0)
     repR = lambda a: jnp.repeat(a, Rmax, axis=0)
     mkey = jnp.concatenate([hkey.reshape(-1), ukeys_r.reshape(-1)])
     cols = tuple(jnp.concatenate([rep8(hseg[:, c]), repR(rseg[:, c])])
                  for c in range(6))
-    labc = jnp.concatenate([jnp.ones((P * 8,), jnp.float32),
-                            jnp.zeros((P * Rmax,), jnp.float32)])
+    labc = jnp.concatenate([jnp.ones((Ph * 8,), jnp.float32),
+                            jnp.zeros((Ph * Rmax,), jnp.float32)])
 
     tabs = _bucket_align(mkey, cols + (labc,), spec, off_keys)
     ent_a = jnp.stack(tabs["cols_a"][:6], axis=1)            # [M,6] aligned
@@ -556,24 +573,30 @@ def ingest_batch(clouds: jax.Array, npts: jax.Array, origins: jax.Array,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("T", "G"))
-def row_targets(urank_rows: jax.Array, nb_row: jax.Array,
-                T: int, G: int) -> jax.Array:
-    """Per aligned row, the G flat accumulator targets.
+@functools.partial(jax.jit, static_argnames=("Bu", "G"))
+def u_targets(urank_rows: jax.Array, tb_u: jax.Array,
+              Bu: int, G: int) -> tuple[jax.Array, jax.Array]:
+    """Targets for the entry-block-indexed accumulator.
+
+    The heavy pass accumulates each Wa-row's full [G, Vall, 2] output at ONE
+    accumulator row — its entry block — so every scatter update is a
+    contiguous, (8,128)-tile-aligned [G·Vall·2] vector (the per-(row, slot)
+    scatter it replaces moved 584-byte fragments at 25 GB/s and was 35% of
+    device time).  The light pass then gathers per (test row, slot) through
+    ``tb_u`` (row gathers run near HBM speed).
 
     urank_rows [K, R2p] — block rank of each Wa-row within its scan (rows
     past the live region carry the last rank: harmless, their entries are
-    all masked so they scatter zeros).  nb_row [K, Bu, G] — the test-block
-    row each entry block serves at slot g (T ⇒ miss).  Returns [K·R2p, G]
-    indices into the [K·T·G] flat accumulator (K·T·G ⇒ dropped).
+    all masked so they accumulate zeros).  tb_u [K, T, G] — the entry-block
+    rank feeding test row t at slot g (Bu ⇒ miss).  Returns
+    (u_tgt [K·R2p] rows into the [K·Bu] accumulator,
+     tb_rows [K·T, G] gather rows, K·Bu ⇒ the zero pad row).
     """
-    K, Bu = nb_row.shape[:2]
-    r = jnp.clip(urank_rows, 0, Bu - 1)
-    nb = jax.vmap(lambda rr, nbr: nbr[rr])(r, nb_row)        # [K, R2p, G]
-    tflat = (nb + (jnp.arange(K, dtype=jnp.int32) * T)[:, None, None]) * G \
-        + jnp.arange(G, dtype=jnp.int32)[None, None, :]
-    tgt = jnp.where(nb >= T, K * T * G, tflat)
-    return tgt.reshape(-1, G)
+    K = urank_rows.shape[0]
+    soff = jnp.arange(K, dtype=jnp.int32) * Bu
+    u_tgt = (jnp.clip(urank_rows, 0, Bu - 1) + soff[:, None]).reshape(-1)
+    rows = jnp.where(tb_u >= Bu, K * Bu, tb_u + soff[:, None, None])
+    return u_tgt, rows.reshape(-1, tb_u.shape[-1])
 
 
 def unpack_local_keys(keys: np.ndarray, bias: np.ndarray) -> np.ndarray:

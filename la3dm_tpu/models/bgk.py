@@ -201,23 +201,29 @@ def _select_eff(vals: jax.Array, eff_b: jax.Array, n: int, block_depth: int):
     return sel
 
 
-def _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, tgt,
+def _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, u_tgt,
                    Wa: int, chunk: int, G: int, sf2: float, ell: float,
                    segments: bool):
-    """The aligned heavy pass: kernel rows × G shifted node tables → flat
-    scatter-add into ``acc`` [Tp·G, Vall, 2].  Shared by the sequence engine
-    and the bench roofline microbench (bench.py) so the saturation numbers
-    measure exactly the production computation."""
+    """The aligned heavy pass: kernel rows × G shifted node tables →
+    per-ENTRY-BLOCK accumulation into ``acc`` [Up+1, G·Vall·2].
+
+    Each Wa-row's full [G, Vall, 2] output lands at ONE accumulator row
+    (its entry block, ``u_tgt``) as a contiguous (8,128)-tile-aligned
+    vector; rows of the same block are adjacent (the ingest sort), so the
+    scatter-add degenerates to mostly-sequential whole-tile read-modify-
+    writes.  The earlier per-(row, slot) layout moved 584-byte fragments at
+    25 GB/s and was 35% of device time on the long-horizon profile.  Shared
+    by the sequence engine and the bench roofline microbench (bench.py) so
+    the saturation numbers measure exactly the production computation."""
     GV, D = ext_nodes.shape[0], ent_rel.shape[-1]
-    Vall = GV // G
-    R2K = tgt.shape[0]
+    R2K = u_tgt.shape[0]
     nch = R2K // chunk
 
     def rc(x):
         return x.reshape((nch, chunk) + x.shape[1:])
 
     def heavy(acc, xs):
-        e, l, m, tg = xs                        # [c,Wa,D],[c,Wa],[c,Wa],[c,G]
+        e, l, m, tg = xs                        # [c,Wa,D],[c,Wa],[c,Wa],[c]
 
         def one(e_r, l_r, m_r):
             if segments:
@@ -229,28 +235,28 @@ def _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, tgt,
                              m_r.astype(jnp.float32)], axis=1)  # [Wa,2]
             return jnp.dot(Km, rhs, preferred_element_type=jnp.float32)
 
-        out = jax.vmap(one)(e, l, m).reshape(chunk, G, Vall, 2)
-        return acc.at[tg.reshape(-1)].add(
-            out.reshape(chunk * G, Vall, 2), mode="drop"), None
+        out = jax.vmap(one)(e, l, m)            # [c, GV, 2]
+        return acc.at[tg].add(out.reshape(chunk, GV * 2), mode="drop"), None
 
     acc, _ = jax.lax.scan(
         heavy, acc,
         (rc(ent_rel.reshape(R2K, Wa, D)), rc(labels.reshape(R2K, Wa)),
-         rc(vmask.reshape(R2K, Wa)), rc(tgt)))
+         rc(vmask.reshape(R2K, Wa)), rc(u_tgt)))
     return acc
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Wa", "chunk", "G", "sf2", "ell", "gate", "n",
+    static_argnames=("Wa", "chunk", "G", "Bu", "sf2", "ell", "gate", "n",
                      "max_level", "segments", "state_fn", "do_prune",
                      "scan_bt", "block_depth"),
     donate_argnames=("A", "Bv", "touched", "eff"),
 )
 def _bgk_seq_step_aligned(A, Bv, touched, eff, ext_nodes,
-                          ent_rel, labels, vmask, tgt,
+                          ent_rel, labels, vmask, u_tgt, tb_rows,
                           slots_flat, scan_start, scan_count,
-                          Wa: int, chunk: int, G: int, sf2: float, ell: float,
+                          Wa: int, chunk: int, G: int, Bu: int,
+                          sf2: float, ell: float,
                           gate: float, n: int, max_level: int, segments: bool,
                           block_depth: int, state_fn=None,
                           do_prune: bool = False, scan_bt: int = 1024):
@@ -267,28 +273,27 @@ def _bgk_seq_step_aligned(A, Bv, touched, eff, ext_nodes,
 
     so ``ext_nodes`` [G·Vall, 3] = all_nodes − off_g·bs is a per-config
     constant and per-row block centers never enter the engine.  The row's
-    [G, Vall, 2] (ȳ, k̄) contributions scatter-add into the flat
-    [Tp·G, Vall, 2] accumulator at the precomputed ``tgt`` indices
-    (K·T·G ⇒ drop).  The light pass is the same per-scan gate + Beta
-    update + prune as the reference loop (bgkoctomap.cpp:309-353), with
-    the eff-level node selection done by broadcast (``_select_eff``).
+    [G·Vall·2] (ȳ, k̄) output accumulates at its ENTRY block's row
+    (``u_tgt`` into the [K·Bu+1, G·Vall·2] accumulator — whole-tile
+    scatter rows, see ``_aligned_heavy``); the light pass gathers each
+    (test row, slot)'s slice through ``tb_rows`` (device_ingest.u_targets)
+    and applies the same per-scan gate + Beta update + prune as the
+    reference loop (bgkoctomap.cpp:309-353), with the eff-level node
+    selection done by broadcast (``_select_eff``).
     """
     GV = ext_nodes.shape[0]
     Vall = GV // G
-    R2K = tgt.shape[0]
+    Up = scan_start.shape[0] * Bu
     Tp = slots_flat.shape[0]
     cap = eff.shape[0] - 1
-    D = ent_rel.shape[-1]
 
-    acc = jnp.zeros((Tp * G, Vall, 2), jnp.float32)
-    acc = _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, tgt,
+    acc = jnp.zeros((Up + 1, GV * 2), jnp.float32)
+    acc = _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, u_tgt,
                          Wa, chunk, G, sf2, ell, segments)
-
-    accr = acc.reshape(Tp, G, Vall, 2)
-    ybar = accr[..., 0].transpose(0, 2, 1)                   # [Tp, Vall, G]
-    kbar = accr[..., 1].transpose(0, 2, 1)
+    acc4 = acc.reshape(Up + 1, G, Vall, 2)
 
     brow = jnp.arange(scan_bt, dtype=jnp.int32)
+    gidx = jnp.arange(G, dtype=jnp.int32)
 
     def light_step(carry, xs):
         A, Bv, touched, eff = carry
@@ -296,8 +301,10 @@ def _bgk_seq_step_aligned(A, Bv, touched, eff, ext_nodes,
         bidx = jnp.minimum(start + brow, Tp - 1)
         mask = brow < count
         slots_k = jnp.where(mask, slots_flat[bidx], cap + 1)    # sentinel pad
+        vals = acc4[tb_rows[bidx], gidx[None, :]]               # [Bt,G,Vall,2]
         dAall, dBall, tchall = kp.beta_update(
-            ybar[bidx], kbar[bidx], gate)                       # [Bt,Vall]
+            jnp.moveaxis(vals[..., 0], 1, -1),
+            jnp.moveaxis(vals[..., 1], 1, -1), gate)            # [Bt,Vall]
         eff_b = eff[jnp.minimum(slots_k, cap)]                  # [Bt,V]
         dA = _select_eff(dAall, eff_b, n, block_depth)
         dB = _select_eff(dBall, eff_b, n, block_depth)
@@ -378,8 +385,8 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
         ent_rel = out["ent_rel"][:, :L].reshape(K_pad * L, spec.D)
         lab = out["lab"][:, :L].reshape(-1)
         vmask = out["vmask"][:, :L].reshape(-1)
-        tgt = device_ingest.row_targets(out["urank_rows"][:, :R2p],
-                                        out["nb_row"], T, G)
+        u_tgt, tb_rows = device_ingest.u_targets(
+            out["urank_rows"][:, :R2p], out["tb_u"], spec.Bu, G)
         ss = np.arange(K_pad, dtype=np.int32) * T
         sc = np.full(K_pad, T, np.int32)
 
@@ -394,7 +401,7 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
         self.stats["host_s"] += time.perf_counter() - t0
 
         statics = dict(
-            Wa=Wa, chunk=_CHUNK, G=G, sf2=cfg.sf2, ell=cfg.ell,
+            Wa=Wa, chunk=_CHUNK, G=G, Bu=spec.Bu, sf2=cfg.sf2, ell=cfg.ell,
             gate=self.GATE, n=self.n, max_level=cfg.block_depth - 1,
             segments=self.SEGMENTS, block_depth=cfg.block_depth,
             state_fn=self._state_fn, do_prune=cfg.block_depth > 1, scan_bt=T)
@@ -402,7 +409,7 @@ class BGKOctoMap(ingest.DeviceIngestMixin, base.OccupancyMapBase):
          self.pool.eff_level) = _bgk_seq_step_aligned(
             self.pool.fields["A"], self.pool.fields["B"], self.pool.touched,
             self.pool.eff_level, self._ext_nodes_dev,
-            ent_rel, lab, vmask, tgt,
+            ent_rel, lab, vmask, u_tgt, tb_rows,
             jnp.asarray(slots), jnp.asarray(ss), jnp.asarray(sc), **statics)
 
     def _field_fills(self):

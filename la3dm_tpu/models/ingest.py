@@ -40,7 +40,7 @@ class DeviceIngestMixin:
     #: hard caps for the monotone spec-dim ladder; a chunk that still
     #: overflows at these goes to the bit-exact host path (the [Bu·G, T]
     #: lookup matmuls grow quadratically past this)
-    _DIM_CAPS = {"Pf": 32768, "Bu": 2048, "T": 2048, "Rmax": 256}
+    _DIM_CAPS = {"Ph": 16384, "Pf": 32768, "Bu": 2048, "T": 2048, "Rmax": 256}
 
     def _ingest_dims(self) -> dict:
         key = ("ingest_dims", type(self).__name__, self.cfg)
@@ -58,7 +58,7 @@ class DeviceIngestMixin:
         if spec is None:
             return None
         grown = {k: max(getattr(spec, k), dims[k])
-                 for k in ("Pf", "Bu", "T", "Rmax") if k in dims}
+                 for k in ("Ph", "Pf", "Bu", "T", "Rmax") if k in dims}
         return dataclasses.replace(spec, **grown) if grown else spec
 
     @property
@@ -149,7 +149,8 @@ class DeviceIngestMixin:
         t0 = time.perf_counter()
         # [K,7]: hit_vox, free_vox, mem, ublk, test, ray uniques, aligned len
         cts = fetched["counts"]
-        over = {"Pf": int(cts[:, 1].max(initial=0)),
+        over = {"Ph": int(cts[:, 0].max(initial=0)),
+                "Pf": int(cts[:, 1].max(initial=0)),
                 "Bu": int(cts[:, 3].max(initial=0)),
                 "T": int(cts[:, 4].max(initial=0))}
         if spec.segments:
