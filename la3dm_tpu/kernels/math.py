@@ -98,17 +98,30 @@ def point_to_segment_dist(p: jax.Array, seg: jax.Array) -> jax.Array:
     p0 = seg[:, 0:3].astype(jnp.float32)
     p1 = seg[:, 3:6].astype(jnp.float32)
     u = p1 - p0                                  # [N,3]
-    line_len = jnp.linalg.norm(u, axis=-1)       # [N]
+    line_len = jnp.sqrt(u[:, 0] ** 2 + u[:, 1] ** 2 + u[:, 2] ** 2)
 
-    diff0 = p[:, None, :] - p0[None, :, :]       # [M,N,3]
-    d0 = jnp.linalg.norm(diff0, axis=-1)
-    d1 = jnp.linalg.norm(p[:, None, :] - p1[None, :, :], axis=-1)
-
-    c1 = jnp.sum(diff0 * u[None, :, :], axis=-1)     # [M,N]
-    c2 = jnp.sum(u * u, axis=-1)[None, :]            # [1,N]
+    # per-axis accumulation keeps every intermediate [M,N] (x+y+z in the
+    # same order as the axis-(-1) reductions it replaces — bit-identical):
+    # [M,N,3] intermediates put 3 in the lane dimension, a 42× lane waste
+    # that dominated the LV tile engine's device profile (r5)
+    d0sq = jnp.zeros((p.shape[0], p0.shape[0]), jnp.float32)
+    d1sq = jnp.zeros_like(d0sq)
+    c1 = jnp.zeros_like(d0sq)
+    for ax in range(3):
+        diff0 = p[:, ax:ax + 1] - p0[None, :, ax]            # [M,N]
+        d0sq = d0sq + diff0 * diff0
+        diff1 = p[:, ax:ax + 1] - p1[None, :, ax]
+        d1sq = d1sq + diff1 * diff1
+        c1 = c1 + diff0 * u[None, :, ax]
+    d0 = jnp.sqrt(d0sq)
+    d1 = jnp.sqrt(d1sq)
+    c2 = (u[:, 0] ** 2 + u[:, 1] ** 2 + u[:, 2] ** 2)[None, :]   # [1,N]
     b = c1 / jnp.maximum(c2, 1e-30)
-    nearest = p0[None, :, :] + u[None, :, :] * b[..., None]
-    dmid = jnp.linalg.norm(p[:, None, :] - nearest, axis=-1)
+    dmidsq = jnp.zeros_like(d0sq)
+    for ax in range(3):
+        dm = p[:, ax:ax + 1] - (p0[None, :, ax] + u[None, :, ax] * b)
+        dmidsq = dmidsq + dm * dm
+    dmid = jnp.sqrt(dmidsq)
 
     d = jnp.where(c1 <= 0.0, d0, jnp.where(c2 <= c1, d1, dmid))
     return jnp.where(line_len[None, :] < SEG_EPSILON, d0, d)

@@ -243,18 +243,43 @@ class OccupancyMapBase:
         centers = self.block_centers(self.pool.coords[slots])
         return (off + centers[:, None, :]).astype(np.float32)
 
+    # -- voxel-storage order ----------------------------------------------
+    # Pools store each block's V voxels in ENGINE-NATIVE order.  For the
+    # point families that is raster order (x fastest); the LV family stores
+    # tile-major so its per-tile pool updates are contiguous 512-element
+    # runs (models/bgklv.py).  Every query/export path converts through
+    # these hooks; the defaults are identity.
+
+    def _stored_vidx(self, vidx: np.ndarray) -> np.ndarray:
+        """Raster voxel index → stored column index."""
+        return vidx
+
+    def _stored_to_raster(self, rows: np.ndarray) -> np.ndarray:
+        """[N, V] stored-order columns → raster order (host numpy)."""
+        return rows
+
+    def _raster_to_stored(self, rows: np.ndarray) -> np.ndarray:
+        """[N, V] raster-order columns → stored order (host numpy)."""
+        return rows
+
+    def _stored_to_raster_dev(self, arr):
+        """[N, V] stored-order device array → raster order (stays on device;
+        used by snapshot builders like models/raycast.py)."""
+        return arr
+
     # -- queries ----------------------------------------------------------
 
     def _gather_rows(self, arr, slots: np.ndarray) -> np.ndarray:
-        """Fetch ``arr[slots]`` via a device-side gather: O(len(slots)·V)
-        transferred, never the full [capacity, V] pool field.  Slots are
-        padded to a power of two so the jitted gather compiles once per
-        (capacity, pad) bucket, not per call."""
+        """Fetch ``arr[slots]`` via a device-side gather, in RASTER voxel
+        order: O(len(slots)·V) transferred, never the full [capacity, V]
+        pool field.  Slots are padded to a power of two so the jitted gather
+        compiles once per (capacity, pad) bucket, not per call."""
         B = len(slots)
         Bpad = next_pow2(max(B, 32))
         sl = np.full(Bpad, self.pool.capacity, np.int32)
         sl[:B] = slots
-        return self._fetch(_gather_slot_rows(arr, jnp.asarray(sl)))[:B]
+        return self._stored_to_raster(
+            self._fetch(_gather_slot_rows(arr, jnp.asarray(sl)))[:B])
 
     def search(self, points: np.ndarray) -> dict[str, np.ndarray]:
         """Vectorized ``search(point3f)`` (bgkoctomap.cpp:563-574).
@@ -275,7 +300,7 @@ class OccupancyMapBase:
         sl = np.zeros(Npad, np.int32)
         sl[:N] = np.where(exists, slots, 0)
         vi = np.zeros(Npad, np.int32)
-        vi[:N] = vidx
+        vi[:N] = self._stored_vidx(vidx)
         sl_d, vi_d = jnp.asarray(sl), jnp.asarray(vi)
         out = {}
         for name, arr in self.pool.fields.items():
@@ -376,6 +401,9 @@ class OccupancyMapBase:
         coords = data["coords"]
         slots = self.pool.ensure(coords)
         for k in self.pool.fields:
-            self.pool.fields[k] = self.pool.fields[k].at[slots].set(jnp.asarray(data[f"field_{k}"]))
-        self.pool.touched = self.pool.touched.at[slots].set(jnp.asarray(data["touched"]))
-        self.pool.eff_level = self.pool.eff_level.at[slots].set(jnp.asarray(data["eff_level"]))
+            self.pool.fields[k] = self.pool.fields[k].at[slots].set(
+                jnp.asarray(self._raster_to_stored(data[f"field_{k}"])))
+        self.pool.touched = self.pool.touched.at[slots].set(
+            jnp.asarray(self._raster_to_stored(data["touched"])))
+        self.pool.eff_level = self.pool.eff_level.at[slots].set(
+            jnp.asarray(self._raster_to_stored(data["eff_level"])))

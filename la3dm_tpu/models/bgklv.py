@@ -79,27 +79,34 @@ def _ray_membership(vox, rays, rays_valid, free_res, ell):
     a = rays[:, 0:3]                       # free origin (the d = 0 sample)
     b = rays[:, 3:6]
     u = b - a                              # [R,3]
-    l = jnp.linalg.norm(u, axis=-1)        # [R]
+    l = jnp.sqrt(u[:, 0] ** 2 + u[:, 1] ** 2 + u[:, 2] ** 2)
     nd = u / jnp.maximum(l, 1e-30)[:, None]
 
-    lo = (vox - ellf)[:, None, :]          # [V,1,3]
-    hi = (vox + ellf)[:, None, :]
-
-    in_a = jnp.all((a[None] >= lo) & (a[None] <= hi), axis=-1)  # [V,R]
-
-    n_ = nd[None, :, :]                    # [1,R,3]
-    a_ = a[None, :, :]
-    safe_n = jnp.where(jnp.abs(n_) < 1e-12, 1.0, n_)
-    t0 = (lo - a_) / safe_n
-    t1 = (hi - a_) / safe_n
-    tmin = jnp.minimum(t0, t1)
-    tmax = jnp.maximum(t0, t1)
-    flat = jnp.abs(n_) < 1e-12
-    slab_ok = (a_ >= lo) & (a_ <= hi)
-    tmin = jnp.where(flat, jnp.where(slab_ok, -jnp.inf, jnp.inf), tmin)
-    tmax = jnp.where(flat, jnp.where(slab_ok, jnp.inf, -jnp.inf), tmax)
-    dlo = jnp.max(tmin, axis=-1)           # [V,R]
-    dhi = jnp.min(tmax, axis=-1)
+    # per-axis slab accumulation keeps every intermediate [V,R] — the
+    # [V,R,3] form put 3 in the lane dimension, a 42× lane waste that
+    # dominated the LV tile engine's device profile (r5); max/min/all over
+    # 3 axes fold into the loop exactly (associative, no-NaN operands)
+    V, R = vox.shape[0], rays.shape[0]
+    in_a = jnp.ones((V, R), bool)
+    dlo = jnp.full((V, R), -jnp.inf, jnp.float32)
+    dhi = jnp.full((V, R), jnp.inf, jnp.float32)
+    for ax in range(3):
+        lo = vox[:, ax:ax + 1] - ellf      # [V,1]
+        hi = vox[:, ax:ax + 1] + ellf
+        a_ = a[None, :, ax]                # [1,R]
+        n_ = nd[None, :, ax]
+        slab_ok = (a_ >= lo) & (a_ <= hi)  # [V,R]
+        in_a = in_a & slab_ok
+        flat = jnp.abs(n_) < 1e-12
+        safe_n = jnp.where(flat, 1.0, n_)
+        t0 = (lo - a_) / safe_n
+        t1 = (hi - a_) / safe_n
+        tmn = jnp.minimum(t0, t1)
+        tmx = jnp.maximum(t0, t1)
+        tmn = jnp.where(flat, jnp.where(slab_ok, -jnp.inf, jnp.inf), tmn)
+        tmx = jnp.where(flat, jnp.where(slab_ok, jnp.inf, -jnp.inf), tmx)
+        dlo = jnp.maximum(dlo, tmn)
+        dhi = jnp.minimum(dhi, tmx)
 
     lr = l[None, :]
     k_min = jnp.maximum(jnp.ceil((lr - dhi) / fr), 1.0)
@@ -115,7 +122,7 @@ def _ray_membership(vox, rays, rays_valid, free_res, ell):
     donate_argnames=("A", "Bv", "touched"),
 )
 def _lv_rows_step(A, Bv, touched, eff,
-                  tile_vox_map, vox_base,
+                  vox_base_t,
                   entries, labels, ids_flat,
                   row_tile, row_start, row_count,
                   tile_slot, tile_pos, tile_ctr,
@@ -123,32 +130,40 @@ def _lv_rows_step(A, Bv, touched, eff,
                   sf2: float, ell: float, free_res: float, gate: float):
     """All (scan, tile) rows of a batch in one dispatch.
 
-    A/Bv/touched/eff: flat [capacity·V] pool views (eff read-only).
-    entries [E,6] degenerate-hit + free-ray segments across all scans of the
-    batch, labels [E] (1 hit / 0 ray); ids_flat [F] tile-major merged entry
-    ids.  row_* [Rw]: each row covers ids_flat[start:start+count] (count ≤ W,
-    0 ⇒ padding) of tile ``row_tile``.  tile_slot/pos/ctr [Tp]: pool slot
-    (== capacity ⇒ padding), tile position id within its block, block center.
-    Per-tile (ȳ, k̄) accumulate across that tile's rows only — rows never mix
-    scans, so the k̄ > gate test keeps per-scan semantics exactly
+    A/Bv/touched/eff: flat [capacity·V] pool views (eff read-only) in
+    TILE-MAJOR voxel order — flat address (slot·tpb + pos)·Vt + vt — so each
+    tile's update is one contiguous 512-element run (the raster layout's
+    8-element fragments ran the pool scatters at 1.7 GiB/s, 40% of LV
+    device time in the r5 profile).  vox_base_t [tpb, Vt, 3]: per tile
+    position, its voxels' block-local centers.  entries [E,6] degenerate-hit
+    + free-ray segments across all scans of the batch, labels [E] (1 hit /
+    0 ray); ids_flat [F] tile-major merged entry ids.  row_* [Rw]: each row
+    covers ids_flat[start:start+count] (count ≤ W, 0 ⇒ padding) of tile
+    ``row_tile``.  tile_slot/pos/ctr [Tp]: pool slot (== capacity ⇒
+    padding), tile position id within its block, block center.  Per-tile
+    (ȳ, k̄) accumulate across that tile's rows only — rows never mix scans,
+    so the k̄ > gate test keeps per-scan semantics exactly
     (bgklvoctomap.cpp:236-238).
     """
     F = ids_flat.shape[0]
     Rw = row_tile.shape[0]
     Tp = tile_slot.shape[0]
-    Vt = tile_vox_map.shape[1]
+    Vt = vox_base_t.shape[1]
 
     wcol = jnp.arange(W, dtype=jnp.int32)[None, :]
     ids = ids_flat[jnp.minimum(row_start[:, None] + wcol, F - 1)]   # [Rw,W]
     valid = wcol < row_count[:, None]
     rpos = tile_pos[row_tile]                                       # [Rw]
     rctr = tile_ctr[row_tile]                                       # [Rw,3]
+    # ONE bulk entry/label gather up front: per-chunk gathers inside the
+    # lax.map ran at ~1.8 M ids/s from step overhead (~25% of LV device
+    # time, r5 profile); a single [Rw·W] gather streams at full rate
+    ent_rows = entries[ids.reshape(-1)].reshape(Rw, W, 6)
+    lab_rows = labels[ids.reshape(-1)].reshape(Rw, W)
 
     def per_row(args):
-        ids_r, val_r, pos_r, ctr_r = args
-        vox = ctr_r[None, :] + vox_base[tile_vox_map[pos_r]]        # [Vt,3]
-        ent = entries[ids_r]                                        # [W,6]
-        lab = labels[ids_r]
+        ent, lab, val_r, pos_r, ctr_r = args
+        vox = ctr_r[None, :] + vox_base_t[pos_r]                    # [Vt,3]
         member = _ray_membership(vox, ent, val_r, free_res, ell)
         d = km.point_to_segment_dist(vox, ent)
         K = jnp.where(member, km.sparse_kernel_lv(d / jnp.float32(ell), sf2), 0.0)
@@ -163,24 +178,62 @@ def _lv_rows_step(A, Bv, touched, eff,
 
     yb, kb = jax.lax.map(
         lambda a: jax.vmap(lambda *b: per_row(b))(*a),
-        tuple(rc(x) for x in (ids, valid, rpos, rctr)))
+        tuple(rc(x) for x in (ent_rows, lab_rows, valid, rpos, rctr)))
     yb = yb.reshape(Rw, Vt)
     kb = kb.reshape(Rw, Vt)
 
     acc_y = jnp.zeros((Tp, Vt), jnp.float32).at[row_tile].add(yb)
     acc_k = jnp.zeros((Tp, Vt), jnp.float32).at[row_tile].add(kb)
 
-    # flat pool addresses; int32 is safe: capacity·V < 2^31 (guarded host-side)
-    vox_map = tile_vox_map[tile_pos]                                # [Tp,Vt]
-    flat_idx = tile_slot[:, None] * jnp.int32(V) + vox_map          # pad ⇒ ≥ len
+    # ROW-granular pool update: the tile-major layout makes each tile one
+    # contiguous [Vt] slice, so the pool reshapes to [capacity·tpb, Vt] and
+    # the scatter carries Tp row indices instead of Tp·Vt scalar ones (the
+    # per-voxel form serialized 2.4 M index ops per dispatch at ~1.7 GiB/s
+    # — 40% of LV device time in the r5 profile)
+    tpb = V // Vt
+    nrow = A.shape[0] // Vt
+    tile_row = tile_slot * jnp.int32(tpb) + tile_pos                # pad ⇒ ≥ nrow
     g = acc_k > jnp.float32(gate)
-    live = eff[jnp.minimum(flat_idx, eff.shape[0] - 1)] == 0        # base leaves
-    g = g & live
-    fi = flat_idx.reshape(-1)
-    A = A.at[fi].add(jnp.where(g, acc_y, 0.0).reshape(-1), mode="drop")
-    Bv = Bv.at[fi].add(jnp.where(g, acc_k - acc_y, 0.0).reshape(-1), mode="drop")
-    touched = touched.at[fi].max(g.reshape(-1), mode="drop")
+    eff_rows = eff.reshape(nrow, Vt)[jnp.minimum(tile_row, nrow - 1)]
+    g = g & (eff_rows == 0)                                         # base leaves
+    A = A.reshape(nrow, Vt).at[tile_row].add(
+        jnp.where(g, acc_y, 0.0), mode="drop").reshape(-1)
+    Bv = Bv.reshape(nrow, Vt).at[tile_row].add(
+        jnp.where(g, acc_k - acc_y, 0.0), mode="drop").reshape(-1)
+    touched = touched.reshape(nrow, Vt).at[tile_row].max(
+        g, mode="drop").reshape(-1)
     return A, Bv, touched
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("state_fn", "n", "max_level"),
+    donate_argnames=("fields", "touched", "eff"),
+)
+def _prune_step_tilemajor(fields, touched, eff, slots, vox_inv_to_raster,
+                          vox_perm_to_stored, state_fn, n, max_level):
+    """models/base.py::_prune_step with stored(tile-major) ↔ raster column
+    conversion around the raster-structured sibling collapse.
+
+    NOTE argument order: ``vox_inv_to_raster`` converts stored→raster
+    (column index array: raster r reads stored column inv[r]) and
+    ``vox_perm_to_stored`` converts back (stored k reads raster perm[k]).
+    """
+    from la3dm_tpu.models import pruning
+
+    safe = jnp.minimum(slots, eff.shape[0] - 1)
+    vals = {k: v[safe][:, vox_inv_to_raster] for k, v in fields.items()}
+    vals["touched"] = touched[safe][:, vox_inv_to_raster].astype(jnp.float32)
+    new_vals, new_eff = pruning.prune_blocks(
+        vals, eff[safe][:, vox_inv_to_raster], n=n, max_level=max_level,
+        state_fn=state_fn)
+    for k in fields:
+        fields[k] = fields[k].at[slots].set(
+            new_vals[k][:, vox_perm_to_stored], mode="drop")
+    touched = touched.at[slots].set(
+        (new_vals["touched"] > 0)[:, vox_perm_to_stored], mode="drop")
+    eff = eff.at[slots].set(new_eff[:, vox_perm_to_stored], mode="drop")
+    return fields, touched, eff
 
 
 def _halo_blocks(points: np.ndarray, cell: float, halo: float) -> tuple[np.ndarray, np.ndarray]:
@@ -238,6 +291,29 @@ class BGKLVOctoMap(base.OccupancyMapBase):
                                            + (tz * te + z) * n * n)
                     maps.append(idx)
         self._tile_vox_map = np.asarray(maps, np.int32)       # [tpb, Vt]
+        # TILE-MAJOR voxel storage: stored column k = pos·Vt + vt holds
+        # raster voxel _vox_perm[k]; the engine's per-tile pool updates are
+        # then contiguous [Vt] runs (see _lv_rows_step).  The base-class
+        # hooks below convert every query/export back to raster order.
+        self._vox_perm = self._tile_vox_map.reshape(-1)       # stored → raster
+        self._vox_inv = np.argsort(self._vox_perm)            # raster → stored
+        self._vox_base_t = self._vox_base[self._tile_vox_map]  # [tpb,Vt,3]
+
+    # -- voxel-storage order hooks (models/base.py) -----------------------
+
+    def _stored_vidx(self, vidx):
+        return self._vox_inv[vidx]
+
+    def _stored_to_raster(self, rows):
+        return rows[:, self._vox_inv]
+
+    def _raster_to_stored(self, rows):
+        return rows[:, self._vox_perm]
+
+    def _stored_to_raster_dev(self, arr):
+        if not hasattr(self, "_vox_inv_dev"):
+            self._vox_inv_dev = jnp.asarray(self._vox_inv)
+        return arr[:, self._vox_inv_dev]
 
     def _field_fills(self):
         return {"A": self.cfg.prior_A, "B": self.cfg.prior_B}
@@ -559,9 +635,8 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         ct_p[:T] = centers
 
         if not hasattr(self, "_dev_consts"):
-            self._dev_consts = (jnp.asarray(self._tile_vox_map),
-                                jnp.asarray(self._vox_base))
-        tvm_dev, vb_dev = self._dev_consts
+            self._dev_consts = (jnp.asarray(self._vox_base_t),)
+        (vbt_dev,) = self._dev_consts
 
         Af = self.pool.fields["A"].reshape(-1)
         Bf = self.pool.fields["B"].reshape(-1)
@@ -569,7 +644,7 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         Ef = self.pool.eff_level.reshape(-1)
         self.stats["host_s"] += time.perf_counter() - t_host0
         Af, Bf, Tf = _lv_rows_step(
-            Af, Bf, Tf, Ef, tvm_dev, vb_dev,
+            Af, Bf, Tf, Ef, vbt_dev,
             jnp.asarray(ent_p), jnp.asarray(lab_p), jnp.asarray(ids_p),
             jnp.asarray(rt_p), jnp.asarray(rs_p), jnp.asarray(rn_p),
             jnp.asarray(sl_p), jnp.asarray(pi_p), jnp.asarray(ct_p),
@@ -582,6 +657,26 @@ class BGKLVOctoMap(base.OccupancyMapBase):
 
         if cfg.original_size and cfg.block_depth > 1:
             self._prune(np.unique(slots))
+
+    def _prune(self, slots: np.ndarray) -> None:
+        """original_size pruning on the TILE-MAJOR pool: convert each block
+        to raster order around the sibling collapse (pruning.prune_blocks
+        assumes raster sibling structure), then back to stored order."""
+        if self.cfg.block_depth <= 1 or len(slots) == 0:
+            return
+        B_pad = base.next_pow2(max(len(slots), 32))
+        sl = np.full(B_pad, self.pool.capacity, np.int32)
+        sl[:len(slots)] = slots
+        if not hasattr(self, "_vox_perm_dev"):
+            self._vox_perm_dev = jnp.asarray(self._vox_perm)
+        if not hasattr(self, "_vox_inv_dev"):
+            self._vox_inv_dev = jnp.asarray(self._vox_inv)
+        new_fields, self.pool.touched, self.pool.eff_level = \
+            _prune_step_tilemajor(
+                self.pool.fields, self.pool.touched, self.pool.eff_level,
+                jnp.asarray(sl), self._vox_inv_dev, self._vox_perm_dev,
+                self._state_fn, self.n, self.cfg.block_depth - 1)
+        self.pool.fields = {k: new_fields[k] for k in self.FIELD_FILLS}
 
     def _make_state_fn(self):
         cfg = self.cfg

@@ -241,7 +241,8 @@ class RaycastSnapshot:
         self.max_probes = max(4, 1 << int(np.ceil(np.log2(maxp))))
         vals = {k: v for k, v in m.pool.fields.items()}
         vals["touched"] = m.pool.touched
-        st = m._state_fn(vals)                            # [cap, V] int8
+        # stored→raster: the DDA indexes voxels in raster order
+        st = m._stored_to_raster_dev(m._state_fn(vals))   # [cap, V] int8
         self.state_tab = jnp.concatenate(
             [st, jnp.full((1, st.shape[1]), posterior.UNKNOWN, jnp.int8)])
         self.res = float(m.cfg.resolution)

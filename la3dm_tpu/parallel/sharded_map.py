@@ -240,6 +240,6 @@ class ShardedBGKLVOctoMap(_ShardedMixin, BGKLVOctoMap):
         import jax.numpy as jnp
 
         self._dev_consts = (
-            jax.device_put(jnp.asarray(self._tile_vox_map), pm.replicated(self._mesh)),
-            jax.device_put(jnp.asarray(self._vox_base), pm.replicated(self._mesh)),
+            jax.device_put(jnp.asarray(self._vox_base_t),
+                           pm.replicated(self._mesh)),
         )

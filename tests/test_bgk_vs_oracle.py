@@ -36,12 +36,15 @@ def compare_maps(fast, oracle_map, atol=2e-3, rtol=0.0, check_state=True,
     ours_n = fast.n
     oracle_voxels = oracle_map.base_voxel_dict()
     assert len(oracle_voxels) > 0
-    # fast map lookup arrays
-    coords = fast.pool.coords[: fast.pool.n_blocks]
+    # fast map lookup arrays, in RASTER voxel order (the LV family stores
+    # its pool tile-major; _gather_rows converts through the map's hooks)
+    nb = fast.pool.n_blocks
+    coords = fast.pool.coords[:nb]
     slot_of = {tuple(c): i for i, c in enumerate(coords)}
-    fields = {k: np.asarray(v[: fast.pool.n_blocks]) for k, v in fast.pool.fields.items()}
-    touched = np.asarray(fast.pool.touched[: fast.pool.n_blocks])
-    effs = np.asarray(fast.pool.eff_level[: fast.pool.n_blocks])
+    rows = np.arange(nb)
+    fields = {k: fast._gather_rows(v, rows) for k, v in fast.pool.fields.items()}
+    touched = fast._gather_rows(fast.pool.touched, rows)
+    effs = fast._gather_rows(fast.pool.eff_level, rows)
 
     names = list(fields)
     prior = np.array([fast.FIELD_FILLS[names[0]], fast.FIELD_FILLS[names[1]]], np.float32)
