@@ -56,14 +56,15 @@ STEADY_BUDGET_S = 120  # stop adding steady runs past this cumulative wall
 # per-(voxel,ray) interval-membership test (~35).  GP's count includes the
 # per-block Cholesky/solve terms in its kernel_evals accounting (gp.py).
 #
-# MEASURED ANCHOR (tools/mfu_anchor.py, v5e, 2026-08-20): for bgk long60 on
-# the device-ingest path the jax.profiler trace (Σ per-op Model GFLOP/s ×
-# self time) reports 19.1 GF against this hand count's 8.5 GF — ratio 2.25.
-# The delta is real work the hand count deliberately excludes: the aligned
-# engine's ~1.9× row padding (W=8 alignment + dead-table slices) and the
-# on-device ingestion pipeline (sorts/scans/matmul lookups).  So the
-# hand-counted MFU below UNDERSTATES device utilization by ~2×; it is kept
-# as the conservative, workload-meaningful number (useful FLOPs only).
+# MEASURED ANCHOR (tools/mfu_anchor.py, v5e, 2026-08-21 post r5 engine
+# restructure): for bgk long60 on the device-ingest path the jax.profiler
+# trace (Σ per-op Model GFLOP/s × self time) reports 21.1 GF against this
+# hand count's 8.5 GF — ratio 2.48.  The delta is real work the hand count
+# deliberately excludes: the aligned engine's ~1.9× row padding (W=8
+# alignment + dead-table slices) and the on-device ingestion pipeline
+# (sorts/scans/matmul lookups).  So the hand-counted MFU below UNDERSTATES
+# device utilization by ~2×; it is kept as the conservative,
+# workload-meaningful number (useful FLOPs only).
 FLOP_PER_EVAL = {"bgk": 50, "bgkl": 95, "bgklv": 130, "gp": 60}
 # dense f32 peak per chip for the MFU denominator (TPU v5 lite ≈ 197
 # TFLOP/s bf16; f32 ≈ half).  An order-of-magnitude anchor, not a claim.
@@ -310,6 +311,16 @@ def run_one(spec: dict) -> dict:
     from la3dm_tpu.pipeline import run_static
     from la3dm_tpu.utils.config import load_method_config
 
+    # the tunnel defers backend init to the FIRST materialization in a
+    # process and it costs a RANDOM 45-400 s (measured r5: 48 s for a [256]
+    # elementwise op in a fresh process) — absorb and report it separately
+    # so warmup_s measures the compile ladder, not the tunnel
+    import jax.numpy as jnp
+    import numpy as np
+    t0 = time.time()
+    np.asarray(jnp.ones(8) * 2)
+    init_s = time.time() - t0
+
     cfg = load_method_config(spec["method"])
     ds = _dataset(spec["dataset"], spec.get("scan_num"))
     t0 = time.time()
@@ -344,6 +355,7 @@ def run_one(spec: dict) -> dict:
         "scans_per_s_max": round(max(rates), 3),
         "total_s": round(med.total_seconds, 3),
         "warmup_s": round(warm_s, 1),
+        "tunnel_init_s": round(init_s, 1),
         "kernel_evals_per_s": round(evals / med.total_seconds, 1),
         "host_s": round(host_s, 3),
         "device_s": round(device_s, 3),
