@@ -315,3 +315,31 @@ def test_html_viewer_export(tmp_path):
     assert len(grab("OCC_COL")) == occ_n * 3     # [n,3] u8
     assert len(grab("OCC_SIZE")) == occ_n * 4
     assert len(grab("FREE_POS")) == fre_n * 12
+
+
+def test_query_fetch_volume_is_o_query(rng):
+    """search()/leaves() gather on device and fetch O(result) bytes — never
+    the full [capacity, V] pool fields (at depth-6/540-scan scale those are
+    335 MB per field over a ~15 MB/s tunnel; VERDICT r4 weak #4)."""
+    import numpy as np
+    from la3dm_tpu.models.bgk import BGKOctoMap
+    from tests.test_bgk_vs_oracle import CFG, synthetic_scan
+
+    m = BGKOctoMap(CFG)
+    cloud, origin = synthetic_scan(rng, n=80)
+    m.insert_pointcloud(cloud, origin, max_range=6.0)
+    cap_bytes = m.pool.capacity * m.pool.V * 4  # one full f32 field
+
+    m.stats["query_fetch_bytes"] = 0
+    m.search(cloud[:4])
+    # 4 points pad to 32; 2 fields + touched ≤ 32·(2·4+1) bytes ≪ one field
+    assert 0 < m.stats["query_fetch_bytes"] <= 32 * (2 * 4 + 1)
+
+    m.stats["query_fetch_bytes"] = 0
+    m.leaves()
+    nb_pad = 1 << int(np.ceil(np.log2(max(m.pool.n_blocks, 32))))
+    per_field = nb_pad * m.pool.V
+    # 2 f32 fields + bool touched + int8 eff, all O(active blocks)
+    limit = per_field * (2 * 4 + 1 + 1)
+    assert 0 < m.stats["query_fetch_bytes"] <= limit
+    assert m.stats["query_fetch_bytes"] < cap_bytes  # never the full pool
