@@ -231,12 +231,19 @@ def _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, u_tgt,
             else:
                 Km = km.cov_sparse(ext_nodes, e_r, sf2, ell)
             Km = jnp.where(m_r[None, :], Km, 0.0)            # [GV, Wa]
-            rhs = jnp.stack([jnp.where(m_r, l_r, 0.0),
-                             m_r.astype(jnp.float32)], axis=1)  # [Wa,2]
-            return jnp.dot(Km, rhs, preferred_element_type=jnp.float32)
+            # two [GV] matvecs, not one [GV,2] matmul: a minor dim of 2
+            # forces a (2,128)-tiled output (the dot fusion was VMEM-write
+            # bound at 27 GiB/s, top op of the r5 profile); batched [c,GV]
+            # outputs tile (8,128) cleanly.  Same per-element f32 sums.
+            yb = jnp.dot(Km, jnp.where(m_r, l_r, 0.0),
+                         preferred_element_type=jnp.float32)
+            kb = jnp.dot(Km, m_r.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            return yb, kb
 
-        out = jax.vmap(one)(e, l, m)            # [c, GV, 2]
-        return acc.at[tg].add(out.reshape(chunk, GV * 2), mode="drop"), None
+        yb, kb = jax.vmap(one)(e, l, m)         # [c, GV] each
+        out = jnp.concatenate([yb, kb], axis=1)  # [c, 2·GV]: [ȳ | k̄]
+        return acc.at[tg].add(out, mode="drop"), None
 
     acc, _ = jax.lax.scan(
         heavy, acc,
@@ -287,10 +294,12 @@ def _bgk_seq_step_aligned(A, Bv, touched, eff, ext_nodes,
     Tp = slots_flat.shape[0]
     cap = eff.shape[0] - 1
 
-    acc = jnp.zeros((Up + 1, GV * 2), jnp.float32)
+    acc = jnp.zeros((Up + 1, 2 * GV), jnp.float32)
     acc = _aligned_heavy(acc, ext_nodes, ent_rel, labels, vmask, u_tgt,
                          Wa, chunk, G, sf2, ell, segments)
-    acc4 = acc.reshape(Up + 1, G, Vall, 2)
+    acc4 = acc.reshape(Up + 1, 2, G, Vall)      # [ȳ | k̄] block layout
+    ybar_all = acc4[:, 0]
+    kbar_all = acc4[:, 1]
 
     brow = jnp.arange(scan_bt, dtype=jnp.int32)
     gidx = jnp.arange(G, dtype=jnp.int32)
@@ -301,10 +310,12 @@ def _bgk_seq_step_aligned(A, Bv, touched, eff, ext_nodes,
         bidx = jnp.minimum(start + brow, Tp - 1)
         mask = brow < count
         slots_k = jnp.where(mask, slots_flat[bidx], cap + 1)    # sentinel pad
-        vals = acc4[tb_rows[bidx], gidx[None, :]]               # [Bt,G,Vall,2]
+        rows = tb_rows[bidx]
+        vy = ybar_all[rows, gidx[None, :]]                      # [Bt,G,Vall]
+        vk = kbar_all[rows, gidx[None, :]]
         dAall, dBall, tchall = kp.beta_update(
-            jnp.moveaxis(vals[..., 0], 1, -1),
-            jnp.moveaxis(vals[..., 1], 1, -1), gate)            # [Bt,Vall]
+            jnp.moveaxis(vy, 1, -1),
+            jnp.moveaxis(vk, 1, -1), gate)                      # [Bt,Vall]
         eff_b = eff[jnp.minimum(slots_k, cap)]                  # [Bt,V]
         dA = _select_eff(dAall, eff_b, n, block_depth)
         dB = _select_eff(dBall, eff_b, n, block_depth)
