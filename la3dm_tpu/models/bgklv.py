@@ -43,8 +43,11 @@ from la3dm_tpu.models import base, posterior
 from la3dm_tpu.utils.config import MapConfig
 
 #: fixed entry-row width (lane-aligned); rows beyond a tile's entry count are
-#: masked, tiles with more entries get multiple rows accumulated on device
-_ROW_W = 128
+#: masked, tiles with more entries get multiple rows accumulated on device.
+#: 64 beat 128/32 in the r5 same-process sweep on the depth-6 workload
+#: (1.97 vs 2.19/2.02 s per 60 scans): the per-tile pad-to-W waste feeds
+#: straight into the now Compute-bound kernel contraction
+_ROW_W = 64
 #: lax.map chunk: bounds the [chunk, Vt, W] kernel live set (~8 MiB f32)
 _CHUNK = 32
 #: max scans per device dispatch — caps row/table pad growth so long scan
