@@ -611,7 +611,7 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         # executable; anything larger grows pow2 from there.  E/F are gather
         # tables — padding them costs transfer bytes, not device compute
         pad = _GLOBAL_PADS.setdefault((type(self).__name__, cfg),
-                                      {"E": 65536, "F": 344064, "R": 4736, "T": 2816})
+                                      {"E": 65536, "F": 524288, "R": 9472, "T": 4096})
         pad["E"] = max(pad["E"], base.next_pow2(max(len(entries), 1024)))
         pad["F"] = max(pad["F"], base.next_pow2(max(len(ids), 16384)))
         pad["R"] = max(pad["R"], base.next_pow2(max(len(row_tile), _CHUNK)))
