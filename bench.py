@@ -321,6 +321,22 @@ def run_one(spec: dict) -> dict:
     np.asarray(jnp.ones(8) * 2)
     init_s = time.time() - t0
 
+    # executable accounting (VERDICT r4 #7): count XLA compiles + wall spent
+    # compiling over the whole config (warm + steady runs); persistent-cache
+    # hits register sub-second durations, fresh remote compiles tens of s
+    compiles = {"n": 0, "s": 0.0}
+    try:
+        from jax._src import monitoring as _mon
+
+        def _on_compile(event, duration, **kw):
+            if event.endswith("backend_compile_duration"):
+                compiles["n"] += 1
+                compiles["s"] += duration
+
+        _mon.register_event_duration_secs_listener(_on_compile)
+    except Exception:
+        pass
+
     cfg = load_method_config(spec["method"])
     ds = _dataset(spec["dataset"], spec.get("scan_num"))
     t0 = time.time()
@@ -356,6 +372,8 @@ def run_one(spec: dict) -> dict:
         "total_s": round(med.total_seconds, 3),
         "warmup_s": round(warm_s, 1),
         "tunnel_init_s": round(init_s, 1),
+        "executables_compiled": compiles["n"],
+        "compile_s": round(compiles["s"], 1),
         "kernel_evals_per_s": round(evals / med.total_seconds, 1),
         "host_s": round(host_s, 3),
         "device_s": round(device_s, 3),
