@@ -604,14 +604,19 @@ class BGKLVOctoMap(base.OccupancyMapBase):
         self.stats["kernel_evals"] += int(mcount.sum()) * self.Vt
         self.stats["scans"] += len(scans)
 
-        # monotone pads shared across instances: stable executables.  Seeded
-        # to the measured 12-scan-chunk cover of the bundled workloads
-        # (structured 44k/250k/3.5k/2.2k, long-term 56k/313k/4.3k/2.6k,
-        # dense-jitter 61k/324k/4.4k/2.7k for E/F/R/T) so they all share one
-        # executable; anything larger grows pow2 from there.  E/F are gather
-        # tables — padding them costs transfer bytes, not device compute
-        pad = _GLOBAL_PADS.setdefault((type(self).__name__, cfg),
-                                      {"E": 65536, "F": 524288, "R": 9472, "T": 4096})
+        # monotone pads shared across instances: stable executables, seeded
+        # to the measured 12-scan-chunk cover of the bundled workloads at
+        # W=64 so demo/long-term/large_map all land on one executable;
+        # anything larger grows pow2 from there.  Single-scan inserts (the
+        # server regime, bgkoctomap_server.cpp:85-89) get their OWN pad
+        # bucket: sharing the 12-scan pads made every online scan pay the
+        # whole batch's padded engine (~12× the work per scan).
+        if len(tds) == 1:
+            seed = {"E": 8192, "F": 65536, "R": 1024, "T": 512}
+        else:
+            seed = {"E": 65536, "F": 524288, "R": 9472, "T": 4096}
+        pad = _GLOBAL_PADS.setdefault(
+            (type(self).__name__, cfg, len(tds) == 1), seed)
         pad["E"] = max(pad["E"], base.next_pow2(max(len(entries), 1024)))
         pad["F"] = max(pad["F"], base.next_pow2(max(len(ids), 16384)))
         pad["R"] = max(pad["R"], base.next_pow2(max(len(row_tile), _CHUNK)))
